@@ -1,0 +1,140 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md §1).
+
+Seeded (default 42) and pure-Python so the pandas oracle can compute the
+expected mention/triple sets on the exact same rows. Text mixes:
+
+* domain gazetteer terms (dictionaries.DOMAIN_TERM_CATEGORIES)
+* property keywords + value+unit spans (VALUE_WITH_UNIT-shaped)
+* ``expansion (ABBR)`` abbreviation patterns
+* alias variants of the same entity (dash/space/plural)
+* filler prose, empty turns, and some very long turns
+
+Conversation sizes are zipfian to exercise skew, `ts` is monotone within a
+conversation, roles cycle user/assistant/tool.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+_MATERIALS = [
+    "P3HT", "PCBM", "PEDOT:PSS", "MAPbI3", "TiO2", "ZnO", "ITO2",
+    "PM6", "Y6", "PTB7", "C60", "SnO2",
+]
+_ALIAS_FAMILIES = [
+    ["organic photovoltaic", "organic photovoltaics", "organic solar cell", "OPV"],
+    ["organic field-effect transistor", "organic field effect transistor", "OFET"],
+    ["bulk heterojunction", "bulk heterojunctions", "BHJ"],
+    ["dye-sensitized solar cell", "dye sensitized solar cells", "DSSC"],
+    ["perovskite solar cell", "perovskite solar cells"],
+]
+_PROPERTIES = [
+    "power conversion efficiency", "mobility", "conductivity", "bandgap",
+    "fill factor", "stability", "thickness", "open-circuit voltage",
+]
+_ABBREV_SEEDS = [
+    ("power conversion efficiency", "PCE"),
+    ("open-circuit voltage", "VOC"),
+    ("field-effect transistor", "FET"),
+    ("atomic force microscopy", "AFM"),
+]
+_UNITS = ["%", "V", "mA", "nm", "cm", "K", "Pa", "Hz", "kg", "mol"]
+_FILLER = (
+    "the device performance improved substantially after treatment and "
+    "careful optimization of processing conditions under inert atmosphere"
+).split()
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["search", "calculator", "plotter", None]
+
+
+def _make_turn_text(rng: random.Random) -> str:
+    parts: List[str] = []
+    n_sentences = rng.randint(1, 3)
+    for _ in range(n_sentences):
+        kind = rng.random()
+        if kind < 0.25:
+            prop = rng.choice(_PROPERTIES)
+            value = f"{rng.randint(1, 999) / 10.0:g} {rng.choice(_UNITS)}"
+            mat = rng.choice(_MATERIALS)
+            parts.append(
+                f"The {prop} of {mat} reached {value} in this experiment."
+            )
+        elif kind < 0.40:
+            expansion, abbr = rng.choice(_ABBREV_SEEDS)
+            parts.append(
+                f"We evaluated the {expansion} ({abbr}) across samples."
+            )
+        elif kind < 0.60:
+            family = rng.choice(_ALIAS_FAMILIES)
+            variant = rng.choice(family)
+            parts.append(
+                f"Results for the {variant} platform were reproducible."
+            )
+        elif kind < 0.75:
+            mat = rng.choice(_MATERIALS)
+            prop = rng.choice(_PROPERTIES)
+            parts.append(f"{mat} exhibits notable {prop} under bias.")
+        else:
+            words = [rng.choice(_FILLER) for _ in range(rng.randint(6, 14))]
+            parts.append(" ".join(words) + ".")
+    return " ".join(parts)
+
+
+def generate_rows(
+    n_convs: int = 100,
+    seed: int = 42,
+    empty_turn_rate: float = 0.05,
+    long_turn_rate: float = 0.01,
+) -> List[Tuple[str, int, str, str, str, dt.datetime]]:
+    rng = random.Random(seed)
+    rows = []
+    base_ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    for c in range(n_convs):
+        conv_id = f"conv-{seed}-{c:06d}"
+        # zipf-ish conversation length: most short, few long (skew)
+        r = rng.random()
+        n_turns = max(1, int(2 / (r + 0.05)))
+        n_turns = min(n_turns, 40)
+        ts = base_ts + dt.timedelta(minutes=c)
+        for t in range(n_turns):
+            role = _ROLES[t % 3]
+            tool = rng.choice(_TOOLS) if role == "tool" else None
+            u = rng.random()
+            if u < empty_turn_rate:
+                text = ""
+            elif u < empty_turn_rate + long_turn_rate:
+                text = " ".join(_make_turn_text(rng) for _ in range(40))
+            else:
+                text = _make_turn_text(rng)
+            ts = ts + dt.timedelta(seconds=rng.randint(5, 120))
+            rows.append((conv_id, t, role, text, tool, ts))
+    return rows
+
+
+def generate_transcripts(
+    spark: SparkSession,
+    n_convs: int = 100,
+    seed: int = 42,
+    n_partitions: int = None,
+) -> DataFrame:
+    rows = generate_rows(n_convs=n_convs, seed=seed)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    if n_partitions:
+        df = df.repartition(n_partitions, "conv_id")
+    return df

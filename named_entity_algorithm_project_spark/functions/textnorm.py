@@ -1,0 +1,114 @@
+"""Text normalization scalars (reference: app.py:1419-1422, 2793-3024).
+
+Each has a pure-python form (used inside Arrow-batched UDFs and the pandas
+test oracle) and, where useful, a Column-expression form so Catalyst can run
+it JVM-side in relational stages.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS_RE = re.compile(r"\s+")
+_NON_ALNUM_RE = re.compile(r"[^a-z0-9\s]")
+
+
+def normalize_text(value: object) -> str:
+    """Collapse whitespace + strip (app.py:1419-1422)."""
+    if value is None:
+        return ""
+    return _WS_RE.sub(" ", str(value)).strip()
+
+
+def normalize_text_col(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def normalize_entity(value: object) -> str:
+    """Trim surrounding whitespace only (app.py:2946-2961)."""
+    if value is None:
+        return ""
+    return str(value).strip()
+
+
+def normalize_phrase(text: object) -> str:
+    """lower + strip non-alnum + collapse (app.py:2793-2797)."""
+    if text is None:
+        return ""
+    cleaned = str(text).lower()
+    cleaned = _NON_ALNUM_RE.sub(" ", cleaned)
+    return _WS_RE.sub(" ", cleaned).strip()
+
+
+def normalize_phrase_col(col: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def format_canonical(value: str) -> str:
+    """<=4 chars -> upper else Title (app.py:2985-2990)."""
+    if not value:
+        return "unknown"
+    if len(value) <= 4:
+        return value.upper()
+    return value.title()
+
+
+def format_canonical_col(col: Column) -> Column:
+    return F.when(F.length(col) <= 4, F.upper(col)).otherwise(F.initcap(col))
+
+
+def can_merge_terms(a: str, b: str) -> bool:
+    """Short-vs-long merge guard (app.py:2993-3000)."""
+    if not a or not b or a == b:
+        return False
+    min_len = min(len(a), len(b))
+    max_len = max(len(a), len(b))
+    if min_len <= 2 and max_len > min_len:
+        return False
+    return True
+
+
+def adaptive_threshold(term: str, base: float) -> float:
+    """Per-term similarity floor by compact length (app.py:3003-3012)."""
+    length = len((term or "").replace(" ", ""))
+    if length <= 3:
+        return max(0.95, base)
+    if length <= 4:
+        return max(0.92, base)
+    if length <= 6:
+        return max(0.88, base)
+    return max(base, 0.82)
+
+
+def adaptive_threshold_col(term: Column, base: float) -> Column:
+    """Column form of :func:`adaptive_threshold` for the candidate-pair table."""
+    length = F.length(F.regexp_replace(term, r"\s", ""))
+    b = F.lit(float(base))
+    return (
+        F.when(length <= 3, F.greatest(F.lit(0.95), b))
+        .when(length <= 4, F.greatest(F.lit(0.92), b))
+        .when(length <= 6, F.greatest(F.lit(0.88), b))
+        .otherwise(F.greatest(b, F.lit(0.82)))
+    )
+
+
+def types_compatible(types_a, types_b) -> bool:
+    """Non-UNKNOWN type sets must intersect (app.py:3015-3024)."""
+    types_a = set(types_a or ())
+    types_b = set(types_b or ())
+    if not types_a and not types_b:
+        return True
+    clean_a = {t for t in types_a if t and t != "UNKNOWN"}
+    clean_b = {t for t in types_b if t and t != "UNKNOWN"}
+    if clean_a and clean_b:
+        return not clean_a.isdisjoint(clean_b)
+    if not clean_a and not clean_b:
+        return True
+    return False

@@ -1,0 +1,187 @@
+"""Stage D(ii) — canonical pick and application.
+
+Canonical member per component (app.py:3189-3194): minimum by
+(not-an-acronym, -frequency, length, lexicographic). Implemented as a
+row_number window over the component — fully deterministic (the reference's
+tuple-min is reproduced by the explicit ORDER BY, no first() without order).
+
+Application (app.py:3292-3298 + sanitize app.py:2251-2315):
+  canonical  = component canonical (identity for unknown norms)
+  Canonical  = pre-existing acronym-merge canonical if set, else
+               upper(canonical)   [the masked-overwrite preservation at
+               app.py:3293-3297]
+  value-type rows (PROP_VALUE / MATERIAL_AMOUNT) bypass linking and fall
+  back to their own text (app.py:3252-3255, 3310-3317, 2287-2294)
+
+User-state rewrites:
+  * user canonical overrides (J4, app.py:1759-1794): broadcast variant->
+    canonical dimension, coalesce
+  * canonical merge map with chain resolution (J5, app.py:1797-1848):
+    chains resolved driver-side (the map is tiny), then broadcast-joined
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Mapping, Optional, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dictionaries import ACRONYM_SET
+from .linking import SKIP_TYPES
+
+
+def pick_canonicals(components: DataFrame, norms: DataFrame) -> DataFrame:
+    """(norm, canonical) for every node.
+
+    Args:
+        components: (norm, component) from connected_components.
+        norms: (norm, freq, ...) profiles; nodes absent here get freq 0
+            (abbreviation/alias endpoints that never occur in the corpus).
+    """
+    scored = (
+        components.join(norms.select("norm", "freq"), "norm", "left")
+        .withColumn("freq", F.coalesce(F.col("freq"), F.lit(0)))
+        .withColumn(
+            "acr_rank",
+            F.when(F.col("norm").isin(*sorted(ACRONYM_SET)), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+    )
+    win = Window.partitionBy("component").orderBy(
+        F.col("acr_rank").asc(),
+        F.col("freq").desc(),
+        F.length("norm").asc(),
+        F.col("norm").asc(),
+    )
+    canonicals = (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(F.col("component"), F.col("norm").alias("canonical"))
+    )
+    return components.join(canonicals, "component").select("norm", "canonical")
+
+
+def apply_canonical_map(
+    mentions: DataFrame, canonical_map: DataFrame
+) -> DataFrame:
+    """Attach canonical / Canonical columns to the full mention table.
+
+    ``canonical_map`` is small relative to the corpus (one row per unique
+    non-value norm) — broadcast it.
+    """
+    linkable_norm = F.trim(F.col("entity"))
+    is_value = F.upper(F.col("entity_type")).isin(*SKIP_TYPES)
+
+    with_norm = mentions.withColumn("norm", linkable_norm)
+    joined = with_norm.join(
+        F.broadcast(canonical_map.withColumnRenamed("canonical", "_cc")),
+        "norm",
+        "left",
+    )
+    canonical = F.when(is_value, F.col("norm")).otherwise(
+        F.coalesce(F.col("_cc"), F.col("norm"))
+    )
+    return (
+        joined.withColumn("canonical", canonical)
+        .withColumn(
+            "canonical_display",
+            F.coalesce(
+                F.col("canonical_acr"),
+                F.upper(F.col("canonical")),
+            ),
+        )
+        .drop("_cc")
+    )
+
+
+def resolve_merge_chains(merge_map: Mapping[str, str], max_depth: int = 10) -> Dict[str, str]:
+    """Path-compress source->target chains (app.py:1797-1816). Driver-side:
+    the user merge map is a tiny dimension."""
+    resolved: Dict[str, str] = {}
+    for source in merge_map:
+        target = merge_map[source]
+        seen = {source}
+        depth = 0
+        while target in merge_map and target not in seen and depth < max_depth:
+            seen.add(target)
+            target = merge_map[target]
+            depth += 1
+        resolved[source] = target
+    return resolved
+
+
+def apply_user_overrides(
+    mentions: DataFrame,
+    user_canonical: Optional[Mapping[str, Iterable[str]]] = None,
+    merge_map: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
+    """J4 + J5: user canonical overrides then merge-map rewrite, both as
+    broadcast joins against literal dimensions. Value-type rows skip
+    overrides (app.py:1769-1771)."""
+    spark = mentions.sparkSession
+    out = mentions
+
+    if user_canonical:
+        rows = [
+            (str(variant).strip().lower(), str(canonical).strip())
+            for canonical, variants in sorted(user_canonical.items())
+            for variant in variants
+            if str(variant).strip()
+        ]
+        if rows:
+            dim = spark.createDataFrame(rows, "variant string, user_canonical string")
+            is_value = F.upper(F.col("entity_type")).isin(*SKIP_TYPES)
+            out = (
+                out.withColumn("_k", F.lower(F.trim(F.col("entity"))))
+                .join(F.broadcast(dim), F.col("_k") == F.col("variant"), "left")
+                .withColumn(
+                    "canonical",
+                    F.when(
+                        F.col("user_canonical").isNotNull() & ~is_value,
+                        F.col("user_canonical"),
+                    ).otherwise(F.col("canonical")),
+                )
+                .withColumn(
+                    "canonical_display",
+                    F.when(
+                        F.col("user_canonical").isNotNull() & ~is_value,
+                        F.upper(F.col("user_canonical")),
+                    ).otherwise(F.col("canonical_display")),
+                )
+                .drop("_k", "variant", "user_canonical")
+            )
+
+    if merge_map:
+        resolved = resolve_merge_chains(dict(merge_map))
+        rows = [(s, t) for s, t in sorted(resolved.items()) if s and t and s != t]
+        if rows:
+            dim = spark.createDataFrame(rows, "m_source string, m_target string")
+            out = (
+                out.join(
+                    F.broadcast(dim),
+                    F.col("canonical") == F.col("m_source"),
+                    "left",
+                )
+                .withColumn(
+                    "canonical",
+                    F.coalesce(F.col("m_target"), F.col("canonical")),
+                )
+                .withColumn(
+                    "canonical_display",
+                    F.when(
+                        F.col("m_target").isNotNull(), F.upper(F.col("m_target"))
+                    ).otherwise(F.col("canonical_display")),
+                )
+                .drop("m_source", "m_target")
+            )
+    return out
+
+
+def alias_groups(canonical_map: DataFrame) -> DataFrame:
+    """canonical -> sorted variant array (linking_context.alias_groups,
+    app.py:3214-3228)."""
+    return canonical_map.groupBy("canonical").agg(
+        F.array_sort(F.collect_set("norm")).alias("variants")
+    )

@@ -1,0 +1,351 @@
+"""Stage C — entity linking: candidate edges for canonicalization.
+
+The reference builds an all-pairs TF-IDF cosine matrix over unique entity
+norms (O(N²), app.py:3046-3067) and gates edges with adaptive thresholds,
+length guards, protected terms and type compatibility (app.py:3140-3183).
+
+Here the same *scores* come from a distributed inverted-index self-join:
+
+    norms --(ngrams UDF)--> explode --> tf --> idf (smooth) --> L2 weights
+    weights ⋈ weights ON ngram  (a.norm < b.norm)
+      --> SALTED partial-sum --> cosine per pair --> gate --> edges
+
+This is exact (same formula as sklearn TfidfVectorizer char_wb 3-5 +
+cosine_similarity) but never materializes N² — only pairs that share at
+least one n-gram, which is also the only set that can score > 0.
+
+Skew: ubiquitous n-grams (" po", "ly") make some (a, b) partial products
+land on few reducers; the pair-sum aggregation is explicitly salted
+(two-stage: (pair, salt) partial sums → pair total), on top of AQE skew-join
+splitting. ``candidate_max_df`` optionally drops n-grams present in more
+than that fraction of norms from the join entirely — at 100 TB vocabulary
+scale this turns the join into a classic prefix-filtered similarity join
+(slightly lossy, off by default to preserve reference parity).
+
+Edge gates (reference parity, app.py:3140-3183):
+  * protected-term pairs never merge (both endpoints protected)
+  * score >= min(adaptive_threshold(a), adaptive_threshold(b))   [sic — the
+    reference takes the *min* of the two per-term floors, app.py:3172-3176]
+  * short-vs-long guard (_can_merge_terms, app.py:2993-3000)
+  * non-UNKNOWN type sets must intersect (app.py:3015-3024), after one round
+    of abbreviation-link type-union propagation (app.py:3151-3156; the
+    reference mutates type sets sequentially per link — we pin the
+    order-free one-round union, gated on the original sets)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..dictionaries import DOMAIN_ALIAS_SUBSTRINGS, PROTECTED_TERMS
+from ..functions.ngrams import char_wb_ngrams
+from ..functions.textnorm import adaptive_threshold_col
+
+SKIP_TYPES = ("PROP_VALUE", "MATERIAL_AMOUNT")
+
+
+@dataclass
+class LinkingTables:
+    norms: DataFrame  # norm, freq, types:array<string>
+    edges: DataFrame  # src, dst (deduped, src < dst)
+    extra_nodes: DataFrame  # norm-only nodes added by abbrev/alias edges
+    base_threshold: float
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _ngrams_udf(norms: pd.Series) -> pd.Series:
+    return norms.map(lambda s: char_wb_ngrams(s or ""))
+
+
+def linkable_mentions(mentions: DataFrame) -> DataFrame:
+    """Non-value mentions with the linking norm (case-sensitive strip of the
+    display entity — app.py:3256, normalize_entity app.py:2946-2961)."""
+    return (
+        mentions.filter(~F.upper(F.col("entity_type")).isin(*SKIP_TYPES))
+        .withColumn("norm", F.trim(F.col("entity")))
+        .filter(F.col("norm") != "")
+    )
+
+
+def norm_profiles(linkable: DataFrame) -> DataFrame:
+    """freq + type set per unique norm (app.py:3256-3263)."""
+    return linkable.groupBy("norm").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.array_sort(
+            F.collect_set(F.upper(F.trim(F.col("entity_type"))))
+        ).alias("types"),
+    )
+
+
+def compute_base_threshold(n_rows: int) -> float:
+    """app.py:3275-3280 — corpus-size-adaptive base threshold."""
+    if n_rows <= 0:
+        return 0.80
+    return 0.80 + min(0.05, 0.02 * math.log10(max(n_rows / 1000, 1e-6)))
+
+
+def tfidf_weights(norms: DataFrame, n_norms: int) -> DataFrame:
+    """L2-normalized smooth TF-IDF weights: (norm, ngram, w).
+
+    ``n_norms`` is the vocabulary size (a single scalar — computed once by
+    the caller; keeping it a Python literal lets Catalyst constant-fold the
+    idf expression).
+    """
+    tf = (
+        norms.select("norm", F.explode(_ngrams_udf(F.col("norm"))).alias("ngram"))
+        .groupBy("norm", "ngram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    # smooth idf: ln((1+N)/(1+df)) + 1  (sklearn default)
+    weighted = tf.join(df_counts, "ngram").withColumn(
+        "w_raw",
+        F.col("tf")
+        * (
+            F.log((F.lit(1.0 + n_norms)) / (F.lit(1.0) + F.col("df")))
+            + F.lit(1.0)
+        ),
+    )
+    norms_sq = weighted.groupBy("norm").agg(
+        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("l2")
+    )
+    return (
+        weighted.join(norms_sq, "norm")
+        .select("norm", "ngram", (F.col("w_raw") / F.col("l2")).alias("w"))
+    )
+
+
+def similarity_pairs(
+    weights: DataFrame,
+    salt_partitions: int = 16,
+    candidate_max_df: Optional[int] = None,
+    df_counts: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact cosine for every norm pair sharing an n-gram: (a, b, score).
+
+    Two-stage salted aggregation: the inner groupBy includes a hash-salt so
+    partial products of hub pairs spread across ``salt_partitions`` reducers
+    before the final pair-sum.
+    """
+    left = weights.select(
+        F.col("norm").alias("a"), "ngram", F.col("w").alias("wa")
+    )
+    right = weights.select(
+        F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
+    )
+    if candidate_max_df is not None and df_counts is not None:
+        keep = df_counts.filter(F.col("df") <= candidate_max_df).select("ngram")
+        left = left.join(F.broadcast(keep), "ngram")
+        right = right.join(F.broadcast(keep), "ngram")
+
+    joined = left.join(right, "ngram").filter(F.col("a") < F.col("b"))
+    partial = (
+        joined.withColumn(
+            "salt", F.pmod(F.xxhash64("ngram"), F.lit(salt_partitions))
+        )
+        .groupBy("a", "b", "salt")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("part"))
+    )
+    return partial.groupBy("a", "b").agg(F.sum("part").alias("score"))
+
+
+def abbreviation_edges(abbrevs: DataFrame) -> DataFrame:
+    """Distinct (src=abbr_norm, dst=expansion_norm) pairs from the per-turn
+    abbreviation registry (app.py:3027-3043). Gating happens in
+    :func:`build_linking_tables` once type sets are known."""
+    return (
+        abbrevs.select(
+            F.trim(F.col("abbr")).alias("src"),
+            F.trim(F.col("expansion")).alias("dst"),
+        )
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+    )
+
+
+def domain_alias_edges(all_nodes: DataFrame) -> DataFrame:
+    """Substring-alias edges (app.py:2976-2982, 3157-3164): a term containing
+    a known domain substring links to its short alias. Protected endpoints
+    are skipped (app.py:3158-3159)."""
+    frames = []
+    for needle, alias in sorted(DOMAIN_ALIAS_SUBSTRINGS.items()):
+        if alias in PROTECTED_TERMS:
+            continue
+        frames.append(
+            all_nodes.filter(
+                F.col("norm").contains(F.lit(needle))
+                & (F.col("norm") != F.lit(alias))
+                & ~F.col("norm").isin(*sorted(PROTECTED_TERMS))
+            ).select(F.col("norm").alias("src"), F.lit(alias).alias("dst"))
+        )
+    if not frames:
+        return all_nodes.sparkSession.createDataFrame(
+            [], "src string, dst string"
+        )
+    out = frames[0]
+    for frame in frames[1:]:
+        out = out.unionByName(frame)
+    return out.distinct()
+
+
+def _types_compatible_cols(types_a, types_b):
+    """Column form of _types_compatible (app.py:3015-3024) on two
+    array<string> columns (missing/empty treated as {UNKNOWN})."""
+    clean_a = F.array_remove(F.coalesce(types_a, F.array()), "UNKNOWN")
+    clean_b = F.array_remove(F.coalesce(types_b, F.array()), "UNKNOWN")
+    both_clean = (F.size(clean_a) > 0) & (F.size(clean_b) > 0)
+    both_empty = (F.size(clean_a) == 0) & (F.size(clean_b) == 0)
+    return F.when(both_clean, F.arrays_overlap(clean_a, clean_b)).otherwise(
+        both_empty
+    )
+
+
+def build_linking_tables(
+    mentions: DataFrame,
+    abbrevs: DataFrame,
+    salt_partitions: int = 16,
+    candidate_max_df: Optional[int] = None,
+) -> LinkingTables:
+    """Assemble the full gated edge list for connected components."""
+    spark = mentions.sparkSession
+    linkable = linkable_mentions(mentions)
+    profiles = norm_profiles(linkable).persist()
+    n_rows = linkable.count()
+    n_norms = profiles.count()
+    base = compute_base_threshold(n_rows)
+
+    protected = sorted(PROTECTED_TERMS)
+
+    # --- abbreviation edges, gated on ORIGINAL type sets -------------------
+    abbr_raw = abbreviation_edges(abbrevs)
+    prof_src = profiles.select(
+        F.col("norm").alias("src"), F.col("types").alias("types_src")
+    )
+    prof_dst = profiles.select(
+        F.col("norm").alias("dst"), F.col("types").alias("types_dst")
+    )
+    abbr_gated = (
+        abbr_raw.join(prof_src, "src", "left")
+        .join(prof_dst, "dst", "left")
+        .filter(
+            ~(F.col("src").isin(*protected) & F.col("dst").isin(*protected))
+        )
+        .filter(_types_compatible_cols(F.col("types_src"), F.col("types_dst")))
+        .select("src", "dst")
+    ).persist()
+
+    # one-round abbreviation type-union propagation (see module docstring):
+    # every endpoint's effective set gains its abbrev-neighbors' types.
+    abbr_sym = abbr_gated.unionByName(
+        abbr_gated.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    neighbor_types = (
+        abbr_sym.join(
+            profiles.select(F.col("norm").alias("dst"), "types"), "dst", "left"
+        )
+        .select(F.col("src").alias("norm"), "types")
+        .filter(F.col("types").isNotNull())
+        .select("norm", F.explode("types").alias("t"))
+    )
+    own_types = profiles.select("norm", F.explode("types").alias("t"))
+    effective_types = (
+        own_types.unionByName(neighbor_types)
+        .groupBy("norm")
+        .agg(F.array_sort(F.collect_set("t")).alias("types"))
+    )
+    # norms with no original profile (abbrev-only endpoints) default UNKNOWN
+    profiles_eff = (
+        profiles.select("norm", "freq")
+        .join(effective_types, "norm", "left")
+        .withColumn("types", F.coalesce(F.col("types"), F.array(F.lit("UNKNOWN"))))
+    )
+
+    # --- node universe ------------------------------------------------------
+    abbr_nodes = (
+        abbr_gated.select(F.col("src").alias("norm"))
+        .unionByName(abbr_gated.select(F.col("dst").alias("norm")))
+        .distinct()
+    )
+    all_nodes = (
+        profiles.select("norm").unionByName(abbr_nodes).distinct().persist()
+    )
+
+    # --- domain alias edges --------------------------------------------------
+    alias_edges = domain_alias_edges(all_nodes)
+    alias_nodes = alias_edges.select(F.col("dst").alias("norm")).distinct()
+    all_nodes_full = all_nodes.unionByName(alias_nodes).distinct()
+
+    # --- similarity edges -----------------------------------------------------
+    weights = tfidf_weights(profiles.select("norm"), n_norms)
+    tf_df_counts = (
+        weights.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+        if candidate_max_df is not None
+        else None
+    )
+    scored = similarity_pairs(
+        weights,
+        salt_partitions=salt_partitions,
+        candidate_max_df=candidate_max_df,
+        df_counts=tf_df_counts,
+    )
+
+    eff_a = profiles_eff.select(
+        F.col("norm").alias("a"),
+        F.col("types").alias("types_a"),
+    )
+    eff_b = profiles_eff.select(
+        F.col("norm").alias("b"),
+        F.col("types").alias("types_b"),
+    )
+    len_a = F.length(F.regexp_replace(F.col("a"), r"\s", ""))
+    len_b = F.length(F.regexp_replace(F.col("b"), r"\s", ""))
+    sim_edges = (
+        scored.join(eff_a, "a")
+        .join(eff_b, "b")
+        .filter(~(F.col("a").isin(*protected) & F.col("b").isin(*protected)))
+        .filter(
+            F.col("score")
+            >= F.least(
+                adaptive_threshold_col(F.col("a"), base),
+                adaptive_threshold_col(F.col("b"), base),
+            )
+        )
+        # short-vs-long guard (_can_merge_terms): min length <= 2 with a
+        # longer partner never merges
+        .filter(
+            ~(
+                (F.least(F.length("a"), F.length("b")) <= 2)
+                & (F.length("a") != F.length("b"))
+            )
+        )
+        .filter(_types_compatible_cols(F.col("types_a"), F.col("types_b")))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+    edges = (
+        abbr_gated.unionByName(alias_edges)
+        .unionByName(sim_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+    extra_nodes = all_nodes_full.join(
+        profiles.select("norm"), "norm", "left_anti"
+    )
+    return LinkingTables(
+        norms=profiles_eff,
+        edges=edges,
+        extra_nodes=extra_nodes,
+        base_threshold=base,
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` but every setting is chosen for the
+1000-executor / 100 TB case: AQE on (runtime re-planning + skew-join
+splitting), Arrow on (all Python boundaries are batched), explicit shuffle
+partitioning, and broadcast threshold suited to the small dimension tables
+this pipeline uses (alias dictionaries, canonical maps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "named_entity_algorithm_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the pipeline's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime coalescing of small shuffle partitions + automatic
+        # skew-join splitting; the baseline skew mitigation (salting is
+        # layered on top for the hub-entity cases AQE cannot see).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for every pandas UDF / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Dimension tables here (alias dicts, canonical maps) are small;
+        # 64 MiB keeps them broadcast even at large corpus vocabularies.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic timestamps across JVM/Python.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,127 @@
+"""Unit tests for the deterministic per-turn detector (SURVEY §2.3 X1-X9)."""
+
+from named_entity_algorithm_project_spark.detector import (
+    compile_user_patterns,
+    extract_turn,
+    preprocess_text,
+)
+
+
+def _by_norm(mentions):
+    return {m.entity_norm: m for m in mentions}
+
+
+def test_empty_text():
+    assert extract_turn("").mentions == []
+    assert extract_turn(None).mentions == []
+    assert extract_turn("   ").mentions == []
+
+
+def test_abbreviation_preexpansion():
+    cleaned, abbr_map = preprocess_text(
+        "the power conversion efficiency (PCE) improved"
+    )
+    assert "PCE" in abbr_map
+    assert "(PCE)" not in cleaned
+    assert "PCE" in cleaned
+
+
+def test_gazetteer_and_values():
+    r = extract_turn(
+        "The organic photovoltaic cell showed mobility of 12.5 cm and bandgap 1.5"
+    )
+    norms = _by_norm(r.mentions)
+    assert "opv" in norms  # acronym-merged entity_norm (app.py:2800-2834)
+    assert norms["opv"].entity_type == "ORGANIC"
+    assert norms["opv"].canonical_acr == "OPV"
+    assert "mobility" in norms and norms["mobility"].entity_type == "PROP_NAME"
+    assert "bandgap" in norms and norms["bandgap"].entity_type == "PROP_NAME"
+    assert "12.5 cm" in norms and norms["12.5 cm"].entity_type == "PROP_VALUE"
+    assert "1.5" in norms and norms["1.5"].entity_type == "PROP_VALUE"
+
+
+def test_material_token_typing():
+    r = extract_turn("P3HT films and TiO2 oxide layers were compared")
+    norms = _by_norm(r.mentions)
+    assert "p3ht" in norms
+    assert norms["p3ht"].entity_type == "ORGANIC"
+    assert "tio2" in norms
+    # contains 'oxide'? no — token itself; INORGANIC requires clue in token
+    assert norms["tio2"].entity_type == "ORGANIC"
+
+
+def test_abbreviation_injection_no_offsets():
+    r = extract_turn("We measured atomic force microscopy (AFM) images")
+    norms = _by_norm(r.mentions)
+    assert "afm" in norms
+    assert norms["afm"].start is None
+    assert ("AFM", "atomic force microscopy") in [
+        (a, e.split()[-3] + " " + e.split()[-2] + " " + e.split()[-1])
+        for a, e in r.abbreviations
+    ] or any(a == "AFM" for a, _ in r.abbreviations)
+
+
+def test_single_char_filter():
+    r = extract_turn("A value of 5 V was measured")
+    assert all(len(m.entity.strip()) > 1 for m in r.mentions)
+
+
+def test_trim_overlong_entities():
+    # >6 tokens and >80 chars entities never survive
+    r = extract_turn("x " * 50)
+    for m in r.mentions:
+        assert len(m.entity.split()) <= 6
+        assert len(m.entity) <= 80
+
+
+def test_per_type_dedup_keeps_first_occurrence():
+    r = extract_turn("mobility here and mobility there")
+    mob = [m for m in r.mentions if m.entity_norm == "mobility"]
+    assert len(mob) == 1
+
+
+def test_user_entity_injection():
+    patterns = compile_user_patterns([("graphene oxide", "INORGANIC")])
+    r = extract_turn(
+        "films of graphene-oxide and graphene oxides compared",
+        user_patterns=patterns,
+    )
+    user = [m for m in r.mentions if m.is_user_entity]
+    # dash variant and plural variant both match
+    assert len(user) == 2
+    assert all(m.confidence == 1.0 for m in user)
+    assert all(m.entity_type == "INORGANIC" for m in user)
+
+
+def test_lonely_unit_suppression_direct():
+    # exercise the post-filter directly: unit-looking PROP_VALUE spans are
+    # dropped unless another value starts within 50 chars (app.py:2543-2589)
+    from named_entity_algorithm_project_spark.detector import Mention, _postfilter
+
+    def mk(entity, etype, start):
+        return Mention(
+            entity=entity,
+            entity_norm=entity.lower(),
+            entity_type=etype,
+            confidence=0.9,
+            start=start,
+            end=None if start is None else start + len(entity),
+        )
+
+    lonely = _postfilter([mk("nm", "PROP_VALUE", 200), mk("120", "PROP_VALUE", 0)])
+    assert "nm" not in {m.entity for m in lonely}
+
+    near = _postfilter([mk("nm", "PROP_VALUE", 30), mk("120", "PROP_VALUE", 0)])
+    assert "nm" in {m.entity for m in near}
+
+    # offset-less unit rows skip the check (reference dropna, app.py:2560)
+    no_offset = _postfilter([mk("AFM", "PROP_VALUE", None)])
+    assert "AFM" in {m.entity for m in no_offset}
+
+
+def test_determinism():
+    text = "The PCE of P3HT reached 15.3 % after annealing (ANN) treatment"
+    a = extract_turn(text)
+    b = extract_turn(text)
+    assert [vars(m) for m in a.mentions] == [vars(m) for m in b.mentions]
+    assert a.abbreviations == b.abbreviations
