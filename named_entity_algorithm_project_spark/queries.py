@@ -1,0 +1,742 @@
+"""Driver-contract queries: one per operator group (SURVEY.md §2) plus the
+training-data-pipeline operators (dedup, similarity search, text analysis).
+
+Each entry in QUERIES is ``name -> (spark, sf_dir) -> DataFrame``; ORACLES
+holds the equivalent DuckDB SQL over the pre-registered views (region nation
+customer supplier part orders lineitem events documents embeddings). Column
+names and value formats are aligned pairwise — the driver hash-compares
+values after sorting columns by name.
+
+Float discipline: compared aggregates avoid cross-engine float-sum drift by
+(a) preferring counts/min/max, (b) exact DECIMAL sums cast back to DOUBLE,
+(c) rounding ratio outputs. Timestamps are compared as epoch seconds.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.2 filters/projections, §2.6 aggregations)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 filter + A1/A7 aggregation (TPC-H Q1 shape). Filter and the
+    two needed columns push down to the parquet scan; sums are exact
+    decimals cast back to double."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "q02_topk_parts",
+    """
+    SELECT p_partkey, p_name, n_lines FROM (
+      SELECT l_partkey AS p_partkey, count(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    ) c JOIN (SELECT p_partkey, p_name FROM part) p USING (p_partkey)
+    ORDER BY n_lines DESC, p_partkey ASC LIMIT 15
+    """,
+)
+def q02_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 top-k with deterministic tie-break + J3 broadcast dim join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    counts = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        counts.join(F.broadcast(part.select("p_partkey", "p_name")), "p_partkey")
+        .orderBy(F.desc("n_lines"), F.asc("p_partkey"))
+        .limit(15)
+    )
+
+
+@_register(
+    "q03_filtered_join_agg",
+    """
+    SELECT p_brand,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+    GROUP BY p_brand
+    """,
+)
+def q03_filtered_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: fact ⋈ broadcast(dim) with dim-side filter pushed below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@_register(
+    "q04_semi_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 1000.0)
+    GROUP BY c_mktsegment
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 left-semi: customers having at least one qualifying order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000.0)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_register(
+    "q05_anti_join",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n_name
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion anti-join (apply_exclusions analog, app.py:1911-1928)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / nearest joins / sessionization (SURVEY §2.4 J1-J2, §2.9)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q06_nearest_event_join",
+    """
+    SELECT event_id, match_id, gap_us FROM (
+      SELECT e.event_id AS event_id, s.event_id AS match_id,
+             abs(epoch_us(e.ts) - epoch_us(s.ts)) AS gap_us,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(s.ts)) ASC, s.event_id ASC
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id
+    ) WHERE rn = 1
+    """,
+)
+def q06_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's nearest-neighbor join shape on the events table: each error
+    event pairs with the user's temporally closest signup event."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.unix_micros(F.col("ts").cast("timestamp")).alias("e_ts")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("match_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_ts"),
+    )
+    joined = errors.join(signups, "user_id").withColumn(
+        "gap_us", F.abs(F.col("e_ts") - F.col("s_ts"))
+    )
+    win = Window.partitionBy("event_id").orderBy(
+        F.asc("gap_us"), F.asc("match_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "match_id", "gap_us")
+    )
+
+
+@_register(
+    "q07_pivot_counts",
+    """
+    SELECT user_id % 10 AS cohort,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def q07_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 pivot analog: per-cohort counts, one column per event type."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 10
+    )
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "error", "signup"]
+    ]
+    return ev.groupBy("cohort").agg(*aggs)
+
+
+@_register(
+    "q08_collect_set",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q08_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 set aggregation, rendered as a sorted joined string so both
+    engines hash identically."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@_register(
+    "q09_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q09_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), the batch form of the streaming
+    session-window operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication suite (training-data ops) over documents
+# --------------------------------------------------------------------------
+
+@_register(
+    "q10_dedup_exact",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct,
+           count(*) - count(DISTINCT md5(text)) AS n_dupes
+    FROM documents
+    """,
+)
+def q10_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (hash-groupBy; at scale this is a
+    single shuffle on md5(text))."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+@_register(
+    "q11_dedup_fingerprint",
+    """
+    SELECT source,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_fingerprints,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q11_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the whitespace-normalized lowercase
+    text (the cheap first pass of any dedup cascade)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return docs.groupBy("source").agg(
+        F.countDistinct(fp).alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@_register(
+    "q12_ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+      FROM documents WHERE doc_id < 120
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_both
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_both AS DOUBLE) / (sa.sz + sb.sz - n_both), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_both AS DOUBLE) / (sa.sz + sb.sz - n_both) >= 0.8
+    """,
+)
+def q12_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup join via inverted index (explode tokens,
+    self-join on token, count intersections) — the scalable shape; never
+    materializes the full pair matrix."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+        ).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("both").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("both")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@_register(
+    "q13_minhash_bands",
+    """
+    WITH shingles AS (
+      SELECT doc_id, unnest(list_distinct(CASE
+               WHEN len(string_split_regex(lower(text), '\\s+')) >= 3
+               THEN list_transform(
+                 range(1, len(string_split_regex(lower(text), '\\s+')) - 1),
+                 i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                      string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(text), '\\s+')[i+2])
+               ELSE [] END)) AS sh
+      FROM documents
+    ), mh AS (
+      SELECT doc_id, s.seed AS seed, min(md5(CAST(s.seed AS VARCHAR) || '#' || sh)) AS mh
+      FROM shingles CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ), sig AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, seed // 4
+    ), buckets AS (
+      SELECT band, band_key, count(*) AS n
+      FROM sig GROUP BY band, band_key
+    )
+    SELECT band, count(*) AS n_buckets,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def q13_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH dedup skeleton: word-3-gram shingles, 8 md5-based minhash
+    slots, 2 bands of 4 → banded candidate buckets. Deterministic across
+    engines because the 'hash family' is md5 of (seed || shingle) compared
+    as hex strings."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    shingle_expr = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(split(lower(text), '\\\\s+')) >= 3 THEN "
+            "transform(sequence(1, size(split(lower(text), '\\\\s+')) - 2), "
+            "i -> concat(element_at(split(lower(text), '\\\\s+'), i), ' ', "
+            "element_at(split(lower(text), '\\\\s+'), i+1), ' ', "
+            "element_at(split(lower(text), '\\\\s+'), i+2))) "
+            "ELSE array() END"
+        )
+    )
+    shingles = docs.select("doc_id", F.explode(shingle_expr).alias("sh"))
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        shingles.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("sh")))
+            ).alias("mh")
+        )
+    )
+    sig = mh.groupBy(
+        "doc_id", (F.col("seed") / 4).cast("int").alias("band")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seed"), F.col("mh")))
+                ),
+                lambda s: s.mh,
+            ),
+            "|",
+        ).alias("band_key")
+    )
+    buckets = sig.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n"))
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_multi"),
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long")).alias(
+            "n_candidate_pairs"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+@_register(
+    "q14_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(embedding, qv), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY round(list_cosine_similarity(embedding, qv), 6) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q14_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): JVM-side higher-order
+    functions (zip_with + aggregate) — no Python in the loop."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .select("vec_id", "cos_sim")
+        .limit(10)
+    )
+
+
+@_register(
+    "q15_knn_label_counts",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    topk AS (
+      SELECT label
+      FROM embeddings, q
+      WHERE vec_id <> 0
+      ORDER BY round(list_cosine_similarity(embedding, qv), 6) DESC, vec_id ASC
+      LIMIT 50
+    )
+    SELECT label, count(*) AS n FROM topk GROUP BY label
+    """,
+)
+def q15_knn_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification shape: label histogram of the query's top-50."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                ),
+                6,
+            ),
+        )
+    )
+    topk = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(50)
+    return topk.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data ops) over documents
+# --------------------------------------------------------------------------
+
+@_register(
+    "q16_token_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           max(len(string_split_regex(trim(text), '\\s+'))) AS max_tokens,
+           min(len(string_split_regex(trim(text), '\\s+'))) AS min_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per source (integer-only outputs)."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.max(ntok).alias("max_tokens"),
+        F.min(ntok).alias("min_tokens"),
+    )
+
+
+@_register(
+    "q17_quality_scores",
+    """
+    SELECT source,
+           round(CAST(sum(CAST(ROUND(
+             CAST(len(text) - len(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+             / greatest(len(text), 1), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS sum_nonalpha_ratio,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN len(text) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM documents GROUP BY source
+    """,
+)
+def q17_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: non-[a-z ] character ratio + length gate, summed as
+    exact decimals so both engines agree bitwise."""
+    docs = _t(spark, sf_dir, "documents")
+    nonalpha = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    ratio_dec = F.round(nonalpha, 9).cast("decimal(18,9)")
+    return docs.groupBy("source").agg(
+        F.round(F.sum(ratio_dec).cast("double"), 6).alias("sum_nonalpha_ratio"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.length("text") >= 200, 1).otherwise(0)).alias("n_long"),
+    )
+
+
+@_register(
+    "q18_lang_id",
+    """
+    SELECT CASE
+             WHEN (len(text) - len(replace(text, ' the ', ''))) / 5
+                + (len(text) - len(replace(text, ' a ', ''))) / 3 >= 2 THEN 'en'
+             ELSE 'other'
+           END AS lang_pred,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: English stopword-occurrence scoring (the
+    n-gram heuristic degenerates to marker counting on this corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    the_hits = (
+        F.length("text") - F.length(F.regexp_replace("text", " the ", ""))
+    ) / 5
+    a_hits = (
+        F.length("text") - F.length(F.regexp_replace("text", " a ", ""))
+    ) / 3
+    pred = F.when(the_hits + a_hits >= 2, "en").otherwise("other")
+    return docs.groupBy(pred.alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# KG pipeline over documents (non-SQL-expressible: rows-only checks)
+# --------------------------------------------------------------------------
+
+def _kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic transcripts (FIXTURES.md §1), scaled with the
+    sf tier. (The driver's documents table is digit-free word salad — zero
+    extractable mentions — so the KG queries run on the seeded generator the
+    parity/bench suites use; input_hint: synthesize at small scale.)"""
+    from .datagen import generate_transcripts
+
+    n_convs = 400 if "0.1" in os.path.basename(sf_dir.rstrip("/")) else 150
+    return generate_transcripts(spark, n_convs=n_convs, seed=42)
+
+
+@_register("q19_kg_mentions")
+def q19_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full deterministic mention extraction (X1-X9) over transcripts;
+    per-type counts. No SQL oracle — the detector is a UDF."""
+    from .operators.extract import extract_mentions
+
+    mentions, _ = extract_mentions(_kg_transcripts(spark, sf_dir))
+    return mentions.groupBy("entity_type").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("entity_norm").alias("n_unique"),
+    )
+
+
+@_register("q20_kg_triples")
+def q20_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-property has_value triples (J1) over transcripts
+    (canonical = identity here; linking exercised in q21)."""
+    from .operators.extract import extract_mentions
+    from .operators.triples import build_triples
+
+    mentions, _ = extract_mentions(_kg_transcripts(spark, sf_dir))
+    mentions = mentions.withColumn("canonical", F.trim(F.col("entity")))
+    triples = build_triples(mentions)
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+    )
+
+
+@_register("q21_kg_linking")
+def q21_kg_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking + connected components over the synthetic transcripts
+    generator (documents lack alias variety): alias-group size histogram."""
+    from .datagen import generate_transcripts
+    from .operators.canonical import pick_canonicals
+    from .operators.components import connected_components
+    from .operators.extract import extract_mentions
+    from .operators.linking import build_linking_tables
+
+    transcripts = generate_transcripts(spark, n_convs=60, seed=11)
+    mentions, abbrevs = extract_mentions(transcripts)
+    linking = build_linking_tables(mentions, abbrevs)
+    nodes = (
+        linking.norms.select("norm")
+        .unionByName(linking.extra_nodes.select("norm"))
+        .distinct()
+    )
+    comps = connected_components(nodes, linking.edges)
+    cmap = pick_canonicals(comps, linking.norms)
+    group_sizes = cmap.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return group_sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
