@@ -96,34 +96,46 @@ def _make_turn_text(rng: random.Random) -> str:
     return " ".join(parts)
 
 
-def generate_rows(
-    n_convs: int = 100,
+def conv_rows(
+    conv_idx: int,
     seed: int = 42,
     empty_turn_rate: float = 0.05,
     long_turn_rate: float = 0.01,
 ) -> List[Tuple[str, int, str, str, str, dt.datetime]]:
-    rng = random.Random(seed)
+    """Rows for ONE conversation, seeded per (seed, conv_idx) — the same
+    function runs driver-side (tests/oracle) and executor-side (scaled
+    generation), producing identical rows regardless of partitioning."""
+    rng = random.Random(f"{seed}-{conv_idx}")
+    conv_id = f"conv-{seed}-{conv_idx:06d}"
+    # zipf-ish conversation length: most short, few long (skew)
+    r = rng.random()
+    n_turns = min(max(1, int(2 / (r + 0.05))), 40)
+    ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+        minutes=conv_idx
+    )
     rows = []
-    base_ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    for t in range(n_turns):
+        role = _ROLES[t % 3]
+        tool = rng.choice(_TOOLS) if role == "tool" else None
+        u = rng.random()
+        if u < empty_turn_rate:
+            text = ""
+        elif u < empty_turn_rate + long_turn_rate:
+            text = " ".join(_make_turn_text(rng) for _ in range(40))
+        else:
+            text = _make_turn_text(rng)
+        ts = ts + dt.timedelta(seconds=rng.randint(5, 120))
+        rows.append((conv_id, t, role, text, tool, ts))
+    return rows
+
+
+def generate_rows(
+    n_convs: int = 100,
+    seed: int = 42,
+) -> List[Tuple[str, int, str, str, str, dt.datetime]]:
+    rows = []
     for c in range(n_convs):
-        conv_id = f"conv-{seed}-{c:06d}"
-        # zipf-ish conversation length: most short, few long (skew)
-        r = rng.random()
-        n_turns = max(1, int(2 / (r + 0.05)))
-        n_turns = min(n_turns, 40)
-        ts = base_ts + dt.timedelta(minutes=c)
-        for t in range(n_turns):
-            role = _ROLES[t % 3]
-            tool = rng.choice(_TOOLS) if role == "tool" else None
-            u = rng.random()
-            if u < empty_turn_rate:
-                text = ""
-            elif u < empty_turn_rate + long_turn_rate:
-                text = " ".join(_make_turn_text(rng) for _ in range(40))
-            else:
-                text = _make_turn_text(rng)
-            ts = ts + dt.timedelta(seconds=rng.randint(5, 120))
-            rows.append((conv_id, t, role, text, tool, ts))
+        rows.extend(conv_rows(c, seed))
     return rows
 
 
@@ -133,8 +145,28 @@ def generate_transcripts(
     seed: int = 42,
     n_partitions: int = None,
 ) -> DataFrame:
-    rows = generate_rows(n_convs=n_convs, seed=seed)
-    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
-    if n_partitions:
-        df = df.repartition(n_partitions, "conv_id")
-    return df
+    """Executor-side generation: spark.range over conversation indices,
+    mapInPandas expands each index into its turns. Scales to millions of
+    conversations without driver-side serialization; identical rows to
+    :func:`generate_rows` for the same (n_convs, seed)."""
+    import pandas as pd
+
+    parts = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+
+    def _expand(batches):
+        for pdf in batches:
+            out = []
+            for conv_idx in pdf["id"]:
+                out.extend(conv_rows(int(conv_idx), seed))
+            yield pd.DataFrame(
+                out,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            )
+
+    return (
+        spark.range(n_convs)
+        .repartition(parts)
+        .mapInPandas(_expand, TRANSCRIPTS_SCHEMA)
+    )

@@ -139,34 +139,45 @@ def preprocess_text(text: str) -> Tuple[str, Dict[str, str]]:
 def _scan_spans(work_text: str) -> List[Tuple[int, int, str, str, float]]:
     """Deterministic span scanner. Returns (start, end, text, hint, conf)
     sorted by (start, end). ``hint`` feeds the typing cascade as the
-    pseudo model label."""
-    spans: List[Tuple[int, int, str, str, float]] = []
-    taken: List[Tuple[int, int]] = []
+    pseudo model label.
 
-    def _free(s: int, e: int) -> bool:
-        return all(e <= ts or s >= te for ts, te in taken)
+    Claiming is first-come non-overlapping in a fixed priority order
+    (gazetteer longest-first, property keywords, value spans, material
+    tokens); the claimed-interval set is a bisect-maintained sorted list so
+    long turns stay O(n log n), not O(n²)."""
+    import bisect
+
+    spans: List[Tuple[int, int, str, str, float]] = []
+    starts: List[int] = []  # sorted starts of claimed (non-overlapping) spans
+    ends: List[int] = []  # ends aligned with starts
+
+    def _claim(s: int, e: int) -> bool:
+        i = bisect.bisect_right(starts, s)
+        if i > 0 and ends[i - 1] > s:  # previous interval covers s
+            return False
+        if i < len(starts) and starts[i] < e:  # next interval starts inside
+            return False
+        starts.insert(i, s)
+        ends.insert(i, e)
+        return True
 
     # 1. gazetteer terms, longest first, all occurrences
     for _term, category, pattern in _GAZETTEER_TERMS:
         for m in pattern.finditer(work_text):
-            if _free(m.start(), m.end()):
-                taken.append((m.start(), m.end()))
+            if _claim(m.start(), m.end()):
                 spans.append((m.start(), m.end(), m.group(0), category, GAZETTEER_CONFIDENCE))
     # 2. property keywords
     for _term, pattern in _PROPERTY_TERMS:
         for m in pattern.finditer(work_text):
-            if _free(m.start(), m.end()):
-                taken.append((m.start(), m.end()))
+            if _claim(m.start(), m.end()):
                 spans.append((m.start(), m.end(), m.group(0), "PROP_NAME", PROPERTY_CONFIDENCE))
     # 3. numeric value (+unit) spans
     for m in VALUE_SPAN_PATTERN.finditer(work_text):
-        if _free(m.start(), m.end()):
-            taken.append((m.start(), m.end()))
+        if _claim(m.start(), m.end()):
             spans.append((m.start(), m.end(), m.group(0), "PROP_VALUE", VALUE_CONFIDENCE))
     # 4. material-looking tokens (letters+digits)
     for m in MATERIAL_TOKEN_PATTERN.finditer(work_text):
-        if _free(m.start(), m.end()):
-            taken.append((m.start(), m.end()))
+        if _claim(m.start(), m.end()):
             spans.append((m.start(), m.end(), m.group(0), "", MATERIAL_CONFIDENCE))
 
     spans.sort(key=lambda s: (s[0], s[1], s[2].lower()))

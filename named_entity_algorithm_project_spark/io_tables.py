@@ -5,8 +5,8 @@ resume); this sandbox has no Iceberg runtime, so the same interface writes
 partitioned parquet directories with an explicit per-bucket lineage table
 that plays the role of Iceberg's commit log:
 
-    <root>/stage_a/mentions/bucket=K/   (data, written first)
-    <root>/stage_a/abbrevs/bucket=K/
+    <root>/stage_a/extraction/bucket=K/ (combined per-turn extraction
+                                         struct — data, written first)
     <root>/lineage/bucket=K/            (single-row commit marker,
                                          written LAST = the commit point)
 
@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .operators.extract import ABBREVS_TABLE_SCHEMA, MENTIONS_TABLE_SCHEMA
+from .operators.extract import EXTRACTION_TABLE_SCHEMA, split_extraction
 
 LINEAGE_SCHEMA = T.StructType(
     [
@@ -47,22 +47,15 @@ class StageAPaths:
     root: str
 
     @property
-    def mentions(self) -> str:
-        return os.path.join(self.root, "stage_a", "mentions")
-
-    @property
-    def abbrevs(self) -> str:
-        return os.path.join(self.root, "stage_a", "abbrevs")
+    def extraction(self) -> str:
+        return os.path.join(self.root, "stage_a", "extraction")
 
     @property
     def lineage(self) -> str:
         return os.path.join(self.root, "lineage")
 
-    def mentions_bucket(self, bucket: int) -> str:
-        return os.path.join(self.mentions, f"bucket={bucket}")
-
-    def abbrevs_bucket(self, bucket: int) -> str:
-        return os.path.join(self.abbrevs, f"bucket={bucket}")
+    def extraction_bucket(self, bucket: int) -> str:
+        return os.path.join(self.extraction, f"bucket={bucket}")
 
     def lineage_bucket(self, bucket: int) -> str:
         return os.path.join(self.lineage, f"bucket={bucket}")
@@ -94,20 +87,27 @@ def commit_bucket(
     spark: SparkSession,
     paths: StageAPaths,
     bucket: int,
-    mentions: DataFrame,
-    abbrevs: DataFrame,
+    extracted: DataFrame,
     run_id: str,
 ) -> dict:
-    """Write one bucket's Stage-A output, lineage marker last."""
-    t0 = time.time()
-    mentions.write.mode("overwrite").parquet(paths.mentions_bucket(bucket))
-    abbrevs.write.mode("overwrite").parquet(paths.abbrevs_bucket(bucket))
+    """Write one bucket's combined extraction output; the single write job
+    also collects the lineage metrics via ``observe`` (no extra count jobs),
+    and the lineage marker write is the commit point."""
+    from pyspark.sql import Observation
 
-    m = spark.read.schema(MENTIONS_TABLE_SCHEMA).parquet(paths.mentions_bucket(bucket))
-    a = spark.read.schema(ABBREVS_TABLE_SCHEMA).parquet(paths.abbrevs_bucket(bucket))
-    n_mentions = m.count()
-    n_abbrevs = a.count()
-    n_turns = m.select("conv_id", "turn_idx").distinct().count()
+    t0 = time.time()
+    obs = Observation(f"stage_a_bucket_{bucket}")
+    observed = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.size("ex.mentions")).alias("n_mentions"),
+        F.sum(F.size("ex.abbreviations")).alias("n_abbrevs"),
+    )
+    observed.write.mode("overwrite").parquet(paths.extraction_bucket(bucket))
+    metrics = obs.get
+    n_turns = metrics["n_turns"] or 0
+    n_mentions = metrics["n_mentions"] or 0
+    n_abbrevs = metrics["n_abbrevs"] or 0
     wall_ms = int((time.time() - t0) * 1000)
 
     row = [(bucket, n_turns, n_mentions, n_abbrevs, wall_ms, None, run_id)]
@@ -134,13 +134,10 @@ def read_stage_a(
     buckets = committed_buckets(spark, paths)
     if not buckets:
         raise FileNotFoundError(f"no committed Stage-A buckets under {paths.root}")
-    mentions = spark.read.schema(MENTIONS_TABLE_SCHEMA).parquet(
-        *[paths.mentions_bucket(b) for b in buckets]
+    extracted = spark.read.schema(EXTRACTION_TABLE_SCHEMA).parquet(
+        *[paths.extraction_bucket(b) for b in buckets]
     )
-    abbrevs = spark.read.schema(ABBREVS_TABLE_SCHEMA).parquet(
-        *[paths.abbrevs_bucket(b) for b in buckets]
-    )
-    return mentions, abbrevs
+    return split_extraction(extracted)
 
 
 def write_table(df: DataFrame, path: str, partition_by: Optional[List[str]] = None) -> None:

@@ -34,19 +34,46 @@ def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iterations: int = 25,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Compute components.
 
     Args:
         nodes: one ``norm`` column — the node universe (singletons included).
         edges: ``src``/``dst`` string columns, undirected, deduped.
+        local_threshold: node-count cutoff below which the graph is collected
+            and solved driver-side (a vocabulary graph far smaller than the
+            corpus is a broadcast-scale dimension — collecting it is the same
+            judgement call as broadcasting the canonical map; the iterative
+            path takes over beyond the cutoff and is what the 10^12-turn case
+            runs). Pass 0 to force the distributed path (tests do).
 
     Returns:
         DataFrame (norm, component) where component = lexicographic min of
         the node's component.
     """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    spark = nodes.sparkSession
+    # Materialize inputs once up front: both paths otherwise re-execute the
+    # full upstream DAG (TF-IDF similarity join included) per consumption.
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    if local_threshold > 0:
+        n_nodes = nodes.limit(local_threshold + 1).count()
+        if n_nodes <= local_threshold:
+            node_list = [r[0] for r in nodes.collect()]
+            edge_list = [(r[0], r[1]) for r in edges.collect()]
+            mapping = _local_components(node_list, edge_list)
+            return spark.createDataFrame(
+                sorted(mapping.items()), "norm string, component string"
+            )
+    # Materialize the edge list once: without this every iteration would
+    # re-execute the full upstream DAG (TF-IDF similarity join included).
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
     # neighbor lists never materialize; we only ever join (node -> label)
     labels = nodes.select(
@@ -87,3 +114,29 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
+
+
+def _local_components(nodes: list, edges: list) -> dict:
+    """Driver-side union-find for broadcast-scale graphs (same output
+    contract as the distributed path: component = lexicographic min)."""
+    parent = {n: n for n in nodes}
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the lexicographically smaller root
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}

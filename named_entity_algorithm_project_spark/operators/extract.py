@@ -71,6 +71,9 @@ TRANSCRIPT_KEY_FIELDS = (
 
 # Concrete storage schemas for the Stage-A checkpoint tables (explicit on
 # read so empty buckets — zero part files — stay readable).
+EXTRACTION_TABLE_SCHEMA = T.StructType(
+    list(TRANSCRIPT_KEY_FIELDS) + [T.StructField("ex", EXTRACTION_STRUCT, True)]
+)
 MENTIONS_TABLE_SCHEMA = mentions_schema(TRANSCRIPT_KEY_FIELDS)
 ABBREVS_TABLE_SCHEMA = T.StructType(
     list(TRANSCRIPT_KEY_FIELDS)
@@ -127,25 +130,28 @@ def extraction_udf(
     return _extract
 
 
-def extract_mentions(
+def extract_combined(
     transcripts: DataFrame,
     text_col: str = "text",
     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
-) -> Tuple[DataFrame, DataFrame]:
-    """Run extraction; returns (mentions, abbreviation_pairs).
-
-    Both outputs derive from ONE UDF invocation column; callers that consume
-    both should materialize (checkpoint/persist) the combined frame — the
-    pipeline does this via its Stage-A checkpoint write.
-    """
+) -> DataFrame:
+    """One row per turn: key_cols + ``ex`` struct<mentions, abbreviations>.
+    This is the Stage-A checkpoint payload — writing it verbatim means the
+    detector UDF runs exactly once per turn, ever; mentions/abbrevs explode
+    lazily from the stored arrays on read."""
     keys = [F.col(c) for c in key_cols]
-    extracted = transcripts.select(
+    return transcripts.select(
         *keys,
         extraction_udf(confidence_threshold, user_entities)(F.col(text_col)).alias("ex"),
     )
 
+
+def split_extraction(
+    extracted: DataFrame, key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
+) -> Tuple[DataFrame, DataFrame]:
+    """(mentions, abbreviation_pairs) views over a combined extraction frame."""
     mentions = extracted.select(
         *[F.col(c) for c in key_cols],
         F.explode(F.col("ex.mentions")).alias("m"),
@@ -161,6 +167,27 @@ def extract_mentions(
         .withColumn("expansion_norm", F.trim(F.col("expansion")))
     )
     return mentions, abbrevs
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    text_col: str = "text",
+    key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+    user_entities: Optional[List[Tuple[str, str]]] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """Run extraction; returns (mentions, abbreviation_pairs).
+
+    Both outputs derive from ONE UDF invocation column, persisted so the
+    detector runs once per row even though two frames consume it. The
+    pipeline uses :func:`extract_combined` + a checkpoint write instead
+    (no cache residency); this convenience form serves ad-hoc queries and
+    tests.
+    """
+    extracted = extract_combined(
+        transcripts, text_col, key_cols, confidence_threshold, user_entities
+    ).persist()
+    return split_extraction(extracted, key_cols)
 
 
 def single_char_filter(entity: Column, is_user: Column) -> Column:

@@ -217,8 +217,12 @@ def build_linking_tables(
     spark = mentions.sparkSession
     linkable = linkable_mentions(mentions)
     profiles = norm_profiles(linkable).persist()
-    n_rows = linkable.count()
-    n_norms = profiles.count()
+    # one job for both scalars (row count -> base threshold, norm count -> idf)
+    stats = linkable.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("norm").alias("n_norms"),
+    ).collect()[0]
+    n_rows, n_norms = stats["n_rows"], stats["n_norms"]
     base = compute_base_threshold(n_rows)
 
     protected = sorted(PROTECTED_TERMS)

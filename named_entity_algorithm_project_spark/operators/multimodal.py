@@ -1,0 +1,150 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Training-data pipelines carry images/audio/video as ``binary`` columns with
+a metadata struct; the engine's job is the Spark-side plumbing — schema,
+partitioning, Arrow batch shape, UDF signatures — while the actual codec
+calls are pluggable. The image/audio libraries are not in this container, so
+the decode step is STUBBED two ways:
+
+* ``decode_stub="deterministic"`` — a seeded fake decoder (payload bytes →
+  stable pseudo-features) so the full plumbing is testable end-to-end;
+* ``decode_stub="raise"`` — ``NotImplementedError`` marking exactly where
+  PIL/torchaudio/ffmpeg plug in.
+
+Everything around the stub is real: ``mapInPandas`` with Arrow-batched
+binary columns, fixed output schemas, per-batch (not per-row) iteration,
+and partition sizing guidance (binary payloads blow past
+``spark.sql.files.maxPartitionBytes`` assumptions — repartition by byte
+budget, not row count).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Literal
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for decode + feature extraction: md5-seeded
+    pseudo-features in [0, 1). Replace with the real codec:
+
+        img = PIL.Image.open(io.BytesIO(payload))      # <- real decode
+        feats = model(preprocess(img))                  # <- real features
+    """
+    digest = hashlib.md5(payload or b"").digest()
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(digest + i.to_bytes(2, "big")).digest()
+        out.append(int.from_bytes(h[:4], "big") / 2**32)
+    return out
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode_stub: Literal["deterministic", "raise"] = "deterministic",
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode + featurize media rows via ``mapInPandas``.
+
+    The UDF iterates Arrow batches (``batch_size_hint`` rows of binary each —
+    set spark.sql.execution.arrow.maxRecordsPerBatch down for large
+    payloads); inside a batch the codec loop is per-payload by necessity,
+    but no Spark-level per-row Python exists.
+    """
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "media decode requires PIL/torchaudio/ffmpeg — not in "
+                    "this container; plug the codec into _fake_decode's slot"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int32"),
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                    "features": payloads.map(_fake_decode),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _featurize, FEATURES_SCHEMA
+    )
+
+
+def repartition_by_bytes(
+    media: DataFrame, target_partition_bytes: int = 64 * 1024 * 1024
+) -> DataFrame:
+    """Partition media so each partition carries ~target bytes of payload —
+    row-count partitioning is wrong for fat binary columns."""
+    sized = media.withColumn(
+        "_bytes", F.coalesce(F.length("payload"), F.lit(0)).cast("long")
+    )
+    total = sized.agg(F.sum("_bytes")).collect()[0][0] or 0
+    n_parts = max(1, int(total / target_partition_bytes) + 1)
+    return sized.repartitionByRange(n_parts, F.col("media_id")).drop("_bytes")
+
+
+def frame_sample_stub(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled timestamp
+    (posexplode over a sequence sized from duration metadata); the frame
+    grab itself is the stubbed codec call."""
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1,
+                    F.lit(0),
+                ),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    return frames

@@ -43,7 +43,7 @@ from .operators.canonical import (
     pick_canonicals,
 )
 from .operators.components import connected_components
-from .operators.extract import extract_mentions
+from .operators.extract import extract_combined
 from .operators.linking import build_linking_tables
 from .operators.triples import build_triples, mention_triples, same_as_triples
 
@@ -113,13 +113,13 @@ def run_pipeline(
                         f"injected failure after {fail_after_buckets} buckets"
                     )
                 subset = bucketed.filter(F.col("bucket") == bucket)
-                mentions, abbrevs = extract_mentions(
+                extracted = extract_combined(
                     subset,
                     confidence_threshold=config.confidence_threshold,
                     user_entities=config.user_entities,
                 )
                 lineage_rows.append(
-                    commit_bucket(spark, paths, bucket, mentions, abbrevs, run_id)
+                    commit_bucket(spark, paths, bucket, extracted, run_id)
                 )
         finally:
             bucketed.unpersist()

@@ -1,0 +1,62 @@
+"""Checkpoint/resume (BASELINE.md resumability gate): kill after k committed
+Stage-A buckets, restart, assert identical final tables and no duplicate
+lineage rows."""
+
+import pytest
+
+from named_entity_algorithm_project_spark.datagen import (
+    TRANSCRIPTS_SCHEMA,
+    generate_rows,
+)
+from named_entity_algorithm_project_spark.io_tables import StageAPaths, read_lineage
+from named_entity_algorithm_project_spark.pipeline import PipelineConfig, run_pipeline
+
+
+def _triple_set(result):
+    return {
+        (r["subj"], r["pred"], r["obj"], r["conv_id"], r["turn_idx"])
+        for r in result.triples.collect()
+    }
+
+
+def test_crash_then_resume_identical(spark, tmp_path):
+    rows = generate_rows(n_convs=40, seed=5)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    cfg = PipelineConfig(n_buckets=5)
+
+    clean_dir = str(tmp_path / "clean")
+    clean = run_pipeline(spark, df, clean_dir, config=cfg, resume=False)
+    clean_triples = _triple_set(clean)
+    assert clean_triples
+
+    crash_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, df, crash_dir, config=cfg, fail_after_buckets=2)
+
+    paths = StageAPaths(crash_dir)
+    partial = read_lineage(spark, paths)
+    assert partial.count() == 2  # exactly the committed buckets
+
+    resumed = run_pipeline(spark, df, crash_dir, config=cfg, resume=True)
+    assert _triple_set(resumed) == clean_triples
+
+    lineage = read_lineage(spark, paths).collect()
+    buckets = [r["bucket"] for r in lineage]
+    assert sorted(buckets) == list(range(5))  # one row per bucket, no dupes
+    # the two crash-surviving buckets kept their original run_id
+    run_ids = {r["bucket"]: r["run_id"] for r in lineage}
+    assert len(set(run_ids.values())) == 2
+
+
+def test_resume_skips_everything_when_complete(spark, tmp_path):
+    rows = generate_rows(n_convs=10, seed=6)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    cfg = PipelineConfig(n_buckets=3)
+    out = str(tmp_path / "full")
+
+    first = run_pipeline(spark, df, out, config=cfg, resume=False)
+    assert len(first.lineage) == 3
+    first_triples = _triple_set(first)  # capture before run 2 overwrites files
+    second = run_pipeline(spark, df, out, config=cfg, resume=True)
+    assert second.lineage == []  # no bucket reprocessed
+    assert _triple_set(second) == first_triples
