@@ -20,7 +20,7 @@ def docs(spark):
         (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
         (2, "the quick brown fox jumps over the lazy cat"),  # near dup
         (3, "completely different content about spark engines"),
-        (4, "spark engines process completely different content about"),  # same tokens as 3
+        (4, "spark engines completely different content about"),  # same token set as 3
         (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -42,8 +42,8 @@ def test_token_jaccard_pairs(docs):
     }
     assert pairs[(0, 1)] == 1.0  # identical
     assert pairs[(3, 4)] == 1.0  # same token set, different order
-    assert (0, 2) in pairs  # near dup: 8/10 shared... jaccard 8/10
-    assert pairs[(0, 2)] == pytest.approx(8 / 10)
+    # near dup: 7 shared of 9 distinct tokens union -> jaccard 7/9
+    assert pairs[(0, 2)] == pytest.approx(7 / 9)
     assert (0, 3) not in pairs
 
 
