@@ -740,3 +740,142 @@ def q21_kg_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_sizes.groupBy("group_size").agg(
         F.count(F.lit(1)).alias("n_groups")
     )
+
+
+# --------------------------------------------------------------------------
+# Additional SURVEY §2 coverage (filters, set predicates, ranking, strings)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q22_keyword_search",
+    """
+    SELECT source, count(*) AS n_docs
+    FROM documents
+    WHERE contains(lower(text), 'table') AND contains(lower(text), 'join')
+    GROUP BY source
+    """,
+)
+def q22_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 conjunctive keyword search (app.py:3978-3991): every term must
+    appear; pure column predicates, no row-wise apply."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    return (
+        docs.filter(lower.contains("table") & lower.contains("join"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "q23_include_exclude_sets",
+    """
+    SELECT user_id, count(*) AS n_events FROM events
+    WHERE user_id IN (
+      SELECT user_id FROM events GROUP BY user_id
+      HAVING bool_or(event_type = 'purchase') AND bool_or(event_type = 'signup')
+         AND NOT bool_or(event_type = 'error')
+    )
+    GROUP BY user_id
+    """,
+)
+def q23_include_exclude_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 include/exclude set filter (app.py:3996-4052): keep keys whose
+    collected set contains all required values and none of the excluded."""
+    ev = _t(spark, sf_dir, "events")
+    sets = ev.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    keep = sets.filter(
+        F.array_contains("types", "purchase")
+        & F.array_contains("types", "signup")
+        & ~F.array_contains("types", "error")
+    ).select("user_id")
+    return (
+        ev.join(keep, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_register(
+    "q24_group_representative",
+    """
+    SELECT lower(p_type) AS type_key, count(*) AS n_parts,
+           min(p_name) AS representative
+    FROM part GROUP BY lower(p_type)
+    """,
+)
+def q24_group_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 canonical frequency + representative (app.py:4139-4144), with the
+    reference's first-seen replaced by a deterministic min()."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy(F.lower("p_type").alias("type_key")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_name").alias("representative"),
+    )
+
+
+@_register(
+    "q25_flatten_sorted_join",
+    """
+    SELECT p_brand,
+           array_to_string(list_sort(list(DISTINCT p_type)), ', ') AS types_joined,
+           count(DISTINCT p_type) AS n_types
+    FROM part GROUP BY p_brand
+    """,
+)
+def q25_flatten_sorted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 flatten_iterable idiom (app.py:1425-1464): collect -> sort ->
+    comma-join as array functions."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.array_join(F.array_sort(F.collect_set("p_type")), ", ").alias(
+            "types_joined"
+        ),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@_register(
+    "q26_json_props_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q26_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: numeric field out of a JSON-ish string
+    column (regexp on both engines so semantics match exactly)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q27_topn_per_key",
+    """
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """,
+)
+def q27_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 per-key top-N ranking (desc-sorted neighbor lists analog)."""
+    ev = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "rn")
+    )
