@@ -44,7 +44,7 @@ HEADLINE_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("KG_BENCH_CONVS", "3000"))
+    n_convs = int(os.environ.get("KG_BENCH_CONVS", "30000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark(
@@ -71,7 +71,7 @@ def main() -> None:
             spark,
             transcripts,
             out_dir,
-            config=PipelineConfig(n_buckets=4),
+            config=PipelineConfig(n_buckets=2),
             resume=False,
         )
         n_triples = result.triples.count()
