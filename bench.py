@@ -65,7 +65,8 @@ def main() -> None:
     # --- full KG pipeline on synthetic transcripts -------------------------
     out_dir = tempfile.mkdtemp(prefix="kg_bench_")
     try:
-        transcripts = generate_transcripts(spark, n_convs=n_convs, seed=42)
+        transcripts = generate_transcripts(spark, n_convs=n_convs, seed=42).persist()
+        n_turns_pre = transcripts.count()  # generation outside the timed window
         t0 = time.time()
         result = run_pipeline(
             spark,

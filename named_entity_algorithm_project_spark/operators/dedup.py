@@ -94,14 +94,14 @@ def token_jaccard_pairs(
 
 
 def _shingles(text_col: str, k: int = 3) -> "F.Column":
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
-    joins = ", ' ', ".join(
-        f"element_at({toks}, i + {j})" for j in range(k)
-    )
+    # tokenize once inside the lambda scope via a single-element transform —
+    # naming split() inline in the per-i lambda would re-split per element
+    joins = ", ' ', ".join(f"element_at(toks, i + {j})" for j in range(k))
     return F.expr(
-        f"CASE WHEN size({toks}) >= {k} THEN array_distinct("
-        f"transform(sequence(1, size({toks}) - {k - 1}), "
-        f"i -> concat({joins}))) ELSE array() END"
+        f"flatten(transform(array(split(lower(trim({text_col})), '\\\\s+')), "
+        f"toks -> CASE WHEN size(toks) >= {k} THEN array_distinct("
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat({joins}))) ELSE array() END))"
     )
 
 
@@ -114,20 +114,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, seed, minhash) — md5(seed || shingle) as the hash family; hex
     strings compare portably across engines and languages."""
-    spark = docs.sparkSession
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(_shingles(text_col, shingle_k)).alias("sh"),
     )
-    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("sh")))
-            ).alias("mh")
-        )
+    # all hash slots as parallel aggregates in ONE pass — a seed crossJoin
+    # would amplify the shuffle n_hashes-fold for identical output
+    wide = sh.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}#"), F.col("sh")))).alias(
+                f"mh{seed}"
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+    stack_expr = ", ".join(f"{s}, mh{s}" for s in range(n_hashes))
+    return wide.selectExpr(
+        "doc", f"stack({n_hashes}, {stack_expr}) as (seed, mh)"
     )
 
 

@@ -445,40 +445,35 @@ def q13_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines because the 'hash family' is md5 of (seed || shingle) compared
     as hex strings."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+    # materialize the token array ONCE — referencing split() inside the
+    # transform lambda would re-split the text per element (O(n²) per doc)
+    with_toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
     shingle_expr = F.array_distinct(
         F.expr(
-            "CASE WHEN size(split(lower(text), '\\\\s+')) >= 3 THEN "
-            "transform(sequence(1, size(split(lower(text), '\\\\s+')) - 2), "
-            "i -> concat(element_at(split(lower(text), '\\\\s+'), i), ' ', "
-            "element_at(split(lower(text), '\\\\s+'), i+1), ' ', "
-            "element_at(split(lower(text), '\\\\s+'), i+2))) "
+            "CASE WHEN size(toks) >= 3 THEN "
+            "transform(sequence(1, size(toks) - 2), "
+            "i -> concat(element_at(toks, i), ' ', "
+            "element_at(toks, i+1), ' ', element_at(toks, i+2))) "
             "ELSE array() END"
         )
     )
-    shingles = docs.select("doc_id", F.explode(shingle_expr).alias("sh"))
-    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        shingles.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("sh")))
-            ).alias("mh")
-        )
+    shingles = with_toks.select("doc_id", F.explode(shingle_expr).alias("sh"))
+    # all 8 minhash slots as parallel aggregates in one pass (no seed
+    # crossJoin: that would amplify the shuffle 8x for the same result)
+    wide = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("sh")))).alias(f"mh{s}")
+            for s in range(8)
+        ]
     )
-    sig = mh.groupBy(
-        "doc_id", (F.col("seed") / 4).cast("int").alias("band")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("seed"), F.col("mh")))
-                ),
-                lambda s: s.mh,
-            ),
-            "|",
-        ).alias("band_key")
+    sig = wide.select(
+        "doc_id",
+        F.expr(
+            "stack(2, 0, concat_ws('|', mh0, mh1, mh2, mh3), "
+            "1, concat_ws('|', mh4, mh5, mh6, mh7)) as (band, band_key)"
+        ),
     )
     buckets = sig.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n"))
     return buckets.groupBy("band").agg(
