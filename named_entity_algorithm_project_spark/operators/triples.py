@@ -159,6 +159,101 @@ def mention_triples(
     )
 
 
+def link_value_units(
+    mentions: DataFrame,
+    max_distance: int = 30,
+    key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
+    value_type: str = "PROP_VALUE",
+    unit_type: str = "PROP_VALUE",
+) -> DataFrame:
+    """Value↔unit interval join — the reference's "Measurement" semantics
+    (app.py:1052-1246, dead code there but the definitive spec):
+
+    candidate ordering per value = (direction, gap, proximity, tie) minimized,
+      direction  0 if unit starts at/after value end else 1
+      gap        char distance between the non-overlapping edges (0 overlap)
+      proximity  |mid(unit) - mid(value)|
+      tie        |unit.start - value.end|
+    gap > max_distance disqualifies. Unit validity: <=20 chars and
+    unit-shaped (UNIT_ONLY_PATTERN / UNIT_TERMS / the legacy charset).
+
+    Returns one row per linked value: key_cols, value_text, value_start,
+    linked_unit, measurement. Same co-partitioned self-join + window-rank
+    shape as the nearest-property join.
+    """
+    from ..dictionaries import UNIT_TERMS
+
+    keys = list(key_cols)
+    unit_shaped = (
+        (F.length(F.trim(F.col("entity"))) <= 20)
+        & (F.trim(F.col("entity")) != "")
+        & (
+            F.trim(F.col("entity")).rlike(r"^[A-Za-z·°Ωµµ/\\-]{1,10}$")
+            | F.upper(F.trim(F.col("entity"))).isin(*sorted(UNIT_TERMS))
+            | F.trim(F.col("entity")).rlike(r"^[A-Za-z0-9µμ%°·^/\\\-\.\s]+$")
+        )
+    )
+    values = mentions.filter(
+        (F.upper(F.col("entity_type")) == value_type)
+        & F.col("start").isNotNull()
+        & F.col("end").isNotNull()
+        & ~F.trim(F.col("entity")).rlike(r"^[A-Za-z·°Ωµµ/\\-]{1,10}$")
+    ).select(
+        *keys,
+        F.trim(F.col("entity")).alias("value_text"),
+        F.col("start").alias("v_start"),
+        F.col("end").alias("v_end"),
+    )
+    units = mentions.filter(
+        (F.upper(F.col("entity_type")) == unit_type)
+        & F.col("start").isNotNull()
+        & F.col("end").isNotNull()
+        & unit_shaped
+        & F.trim(F.col("entity")).rlike(r"^[A-Za-z·°Ωµµ/\\-]{1,10}$")
+    ).select(
+        *keys,
+        F.trim(F.col("entity")).alias("unit_text"),
+        F.col("start").alias("u_start"),
+        F.col("end").alias("u_end"),
+    )
+
+    joined = values.join(units, on=keys)
+    direction = F.when(F.col("u_start") >= F.col("v_end"), 0).when(
+        F.col("u_end") <= F.col("v_start"), 1
+    ).otherwise(0)
+    gap = (
+        F.when(F.col("u_start") >= F.col("v_end"), F.col("u_start") - F.col("v_end"))
+        .when(F.col("u_end") <= F.col("v_start"), F.col("v_start") - F.col("u_end"))
+        .otherwise(F.lit(0))
+    )
+    mid_u = ((F.col("u_start") + F.col("u_end")) / 2).cast("int")
+    mid_v = ((F.col("v_start") + F.col("v_end")) / 2).cast("int")
+    proximity = F.abs(mid_u - mid_v)
+    tie = F.abs(F.col("u_start") - F.col("v_end"))
+
+    ranked = (
+        joined.withColumn("direction", direction)
+        .withColumn("gap", gap)
+        .filter(F.col("gap") <= max_distance)
+        .withColumn("proximity", proximity)
+        .withColumn("tie", tie)
+    )
+    win = Window.partitionBy(*keys, "value_text", "v_start").orderBy(
+        "direction", "gap", "proximity", "tie", "u_start", "unit_text"
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            *keys,
+            "value_text",
+            F.col("v_start").alias("value_start"),
+            F.col("unit_text").alias("linked_unit"),
+            F.concat_ws(" ", "value_text", "unit_text").alias("measurement"),
+        )
+    )
+
+
 def same_as_triples(canonical_map: DataFrame) -> DataFrame:
     """(variant, 'same_as', canonical) for every non-identity map entry."""
     return canonical_map.filter(F.col("norm") != F.col("canonical")).select(
