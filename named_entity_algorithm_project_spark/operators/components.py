@@ -35,6 +35,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
     local_threshold: int = 200_000,
+    salt_partitions: int = 8,
 ) -> DataFrame:
     """Compute components.
 
@@ -81,6 +82,10 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
+        # two-stage salted min: hub nodes ("polymer"-style entities with
+        # thousands of similarity neighbors) spread their partial mins over
+        # salt_partitions reducers before the final per-node min (on top of
+        # Spark's map-side partial aggregation)
         neighbor_min = (
             sym.join(
                 labels.select(
@@ -89,8 +94,13 @@ def connected_components(
                 ),
                 "dst",
             )
-            .groupBy(F.col("src").alias("norm"))
-            .agg(F.min("n_component").alias("neighbor_component"))
+            .groupBy(
+                F.col("src").alias("norm"),
+                F.pmod(F.xxhash64("dst"), F.lit(salt_partitions)).alias("_salt"),
+            )
+            .agg(F.min("n_component").alias("part_min"))
+            .groupBy("norm")
+            .agg(F.min("part_min").alias("neighbor_component"))
         )
         updated = (
             labels.join(neighbor_min, "norm", "left")
