@@ -66,6 +66,8 @@ class PipelineResult:
     entities: DataFrame
     triples: DataFrame
     lineage: List[dict]
+    output_dir: str = ""
+    metrics: Optional[DataFrame] = None
 
 
 def ordered_transcripts(transcripts: DataFrame, n_partitions: Optional[int] = None) -> DataFrame:
@@ -163,6 +165,27 @@ def run_pipeline(
     triples = has_value.unionByName(mention_facts).unionByName(same_as)
 
     # ---------------- Stage E: materialize --------------------------------
+    # pipeline-level metrics (the lineage table holds per-bucket Stage-A
+    # rows; this table holds the downstream-stage counters the reference
+    # surfaced as run stats, app.py:3523-3601)
+    triples = triples.persist()
+    pred_counts = {
+        r["pred"]: r["n"]
+        for r in triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    metrics_rows = [
+        ("base_threshold", float(linking.base_threshold)),
+        ("n_canonical_norms", float(canonical_map.count())),
+        ("n_merged_norms", float(
+            canonical_map.filter(F.col("norm") != F.col("canonical")).count()
+        )),
+        ("n_triples_has_value", float(pred_counts.get("has_value", 0))),
+        ("n_triples_mentions", float(pred_counts.get("mentions", 0))),
+        ("n_triples_same_as", float(pred_counts.get("same_as", 0))),
+    ]
+    metrics = spark.createDataFrame(metrics_rows, "metric string, value double")
+    write_table(metrics.coalesce(1), os.path.join(output_dir, "metrics"))
+
     entities = mentions.select(
         "conv_id",
         "turn_idx",
@@ -196,14 +219,21 @@ def run_pipeline(
     entities_rb = spark.read.schema(entities.schema).parquet(
         os.path.join(output_dir, "entities_canonical")
     )
+    triples_rb = spark.read.schema(triples.schema).parquet(
+        os.path.join(output_dir, "triples")
+    )
+    triples.unpersist()
+    canonical_map.unpersist()
     return PipelineResult(
         mentions=entities_rb,
         canonical_map=spark.read.schema(canonical_map.schema).parquet(
             os.path.join(output_dir, "canonical_map")
         ),
         entities=entities_rb,
-        triples=spark.read.schema(triples.schema).parquet(
-            os.path.join(output_dir, "triples")
-        ),
+        triples=triples_rb,
         lineage=lineage_rows,
+        output_dir=output_dir,
+        metrics=spark.read.schema(metrics.schema).parquet(
+            os.path.join(output_dir, "metrics")
+        ),
     )

@@ -60,3 +60,24 @@ def test_resume_skips_everything_when_complete(spark, tmp_path):
     second = run_pipeline(spark, df, out, config=cfg, resume=True)
     assert second.lineage == []  # no bucket reprocessed
     assert _triple_set(second) == first_triples
+
+
+def test_metrics_table_written(spark, tmp_path):
+    rows = generate_rows(n_convs=8, seed=7)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    result = run_pipeline(
+        spark, df, str(tmp_path / "m"), config=PipelineConfig(n_buckets=1),
+        resume=False,
+    )
+    metrics = {r["metric"]: r["value"] for r in result.metrics.collect()}
+    # tiny corpus: the reference's size-adaptive term is negative below
+    # 1000 rows (app.py:3275-3280), so base < 0.80
+    assert 0.68 <= metrics["base_threshold"] < 0.80
+    assert metrics["n_triples_has_value"] > 0
+    assert metrics["n_canonical_norms"] > 0
+    assert (
+        metrics["n_triples_has_value"]
+        + metrics["n_triples_mentions"]
+        + metrics["n_triples_same_as"]
+        == result.triples.count()
+    )
