@@ -140,7 +140,29 @@ def read_stage_a(
     return split_extraction(extracted)
 
 
-def write_table(df: DataFrame, path: str, partition_by: Optional[List[str]] = None) -> None:
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: Optional[List[str]] = None,
+    iceberg_table: Optional[str] = None,
+) -> None:
+    """Materialize an output table.
+
+    When ``iceberg_table`` names a catalog-qualified table (e.g.
+    ``kg.db.triples``) AND the session has an Iceberg catalog configured
+    (``spark.sql.catalog.<name>`` set — the spark-submit deployment does
+    this; the sandbox has no Iceberg runtime), write through ``writeTo``
+    with create-or-replace so Iceberg snapshots/partition specs apply.
+    Otherwise: partitioned parquet at ``path`` — same layout, no snapshot
+    log (the lineage table stands in for it)."""
+    if iceberg_table:
+        catalog = iceberg_table.split(".", 1)[0]
+        if df.sparkSession.conf.get(f"spark.sql.catalog.{catalog}", None):
+            writer = df.writeTo(iceberg_table)
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            return
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -82,3 +82,41 @@ def test_value_types_skip_overrides(spark, tmp_path):
     ).collect()
     assert vrows
     assert all(r["canonical"] != "SHOULD NOT APPLY" for r in vrows)
+
+
+def test_resume_reapplies_new_user_state(spark, tmp_path):
+    """EP2/EP3 analog (app.py:4721-4784, 2149-2201): re-entry with changed
+    user state reuses committed Stage-A extraction and recomputes only the
+    downstream stages with the new overrides."""
+    rows = generate_rows(n_convs=12, seed=15)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    out = str(tmp_path / "re")
+
+    first = run_pipeline(
+        spark, df, out, config=PipelineConfig(n_buckets=2), resume=False
+    )
+    assert len(first.lineage) == 2
+    base_canon = {
+        r["norm"]: r["canonical"]
+        for r in first.entities.select("norm", "canonical").distinct().collect()
+    }
+
+    second = run_pipeline(
+        spark,
+        df,
+        out,
+        config=PipelineConfig(
+            n_buckets=2, merge_map={"mobility": "charge mobility"}
+        ),
+        resume=True,
+    )
+    assert second.lineage == []  # extraction NOT recomputed
+    new_canon = {
+        r["norm"]: r["canonical"]
+        for r in second.entities.select("norm", "canonical").distinct().collect()
+    }
+    assert new_canon["mobility"] == "charge mobility"
+    # everything else unchanged
+    unchanged = {k: v for k, v in base_canon.items() if v != "mobility"}
+    for k, v in unchanged.items():
+        assert new_canon[k] == v
