@@ -204,8 +204,12 @@ def run_pipeline(
         entities.repartition(F.col("conv_id")),
         os.path.join(output_dir, "entities_canonical"),
     )
+    # repartition on (pred, conv_id): partitionBy(pred) still writes clean
+    # per-pred directories, but the write parallelizes across all tasks —
+    # repartitioning on pred alone would funnel everything through 3 tasks
+    # (one per predicate), a data-proportional serial choke
     write_table(
-        triples.repartition(F.col("pred")),
+        triples.repartition(F.col("pred"), F.col("conv_id")),
         os.path.join(output_dir, "triples"),
         partition_by=["pred"],
     )

@@ -874,3 +874,89 @@ def q27_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("user_id", "event_id", "rn")
     )
+
+
+@_register(
+    "q28_daily_activity",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def q28_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup (the batch form of a tumbling-window agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@_register(
+    "q29_multiway_join",
+    """
+    SELECT n_name,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q29_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q10 shape): two fact joins + a broadcast
+    dim, filter pushed below the joins."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "q30_union_dedup",
+    """
+    SELECT name, count(*) AS n FROM (
+      SELECT lower(n_name) AS name FROM nation
+      UNION ALL
+      SELECT lower(r_name) AS name FROM region
+      UNION ALL
+      SELECT lower(c_mktsegment) AS name FROM customer
+    ) GROUP BY name
+    """,
+)
+def q30_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 union-all concat across heterogeneous sources + grouped dedup."""
+    nation = _t(spark, sf_dir, "nation").select(F.lower("n_name").alias("name"))
+    region = _t(spark, sf_dir, "region").select(F.lower("r_name").alias("name"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.lower("c_mktsegment").alias("name")
+    )
+    return (
+        nation.unionByName(region)
+        .unionByName(cust)
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
