@@ -62,7 +62,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals cast back to double."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -917,7 +917,7 @@ def q29_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim, filter pushed below the joins."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
     )
     li = _t(spark, sf_dir, "lineitem")
     nation = _t(spark, sf_dir, "nation")
