@@ -17,7 +17,7 @@ from named_entity_algorithm_project_spark.datagen import (
 )
 from named_entity_algorithm_project_spark.pipeline import PipelineConfig, run_pipeline
 
-N_CONVS = 80
+N_CONVS = 300
 SEED = 42
 
 
