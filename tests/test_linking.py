@@ -119,3 +119,57 @@ def test_canonical_pick_ordering(spark):
     assert got["zzz"] == "opv"
     # equal freq -> shorter term wins ('beta' len 4 < 'alpha' len 5)
     assert got["alpha"] == "beta"
+
+
+def test_candidate_max_df_blocking_is_subset(spark):
+    """The scale knob (drop ubiquitous n-grams from the similarity join)
+    must only ever remove edges, never invent them."""
+    from named_entity_algorithm_project_spark.datagen import (
+        TRANSCRIPTS_SCHEMA,
+        generate_rows,
+    )
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_mentions,
+    )
+    from named_entity_algorithm_project_spark.operators.linking import (
+        build_linking_tables,
+    )
+
+    rows = generate_rows(n_convs=60, seed=17)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    mentions, abbrevs = extract_mentions(df)
+    exact = {
+        (r["src"], r["dst"])
+        for r in build_linking_tables(mentions, abbrevs).edges.collect()
+    }
+    blocked = {
+        (r["src"], r["dst"])
+        for r in build_linking_tables(
+            mentions, abbrevs, candidate_max_df=3
+        ).edges.collect()
+    }
+    assert blocked <= exact
+
+
+def test_extraction_invariant_under_partitioning(spark):
+    """Mentions are identical whatever the input partitioning (narrow map —
+    no order- or partition-dependence)."""
+    from named_entity_algorithm_project_spark.datagen import (
+        TRANSCRIPTS_SCHEMA,
+        generate_rows,
+    )
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_mentions,
+    )
+
+    rows = generate_rows(n_convs=40, seed=18)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+
+    def key_set(frame):
+        m, _ = extract_mentions(frame)
+        return {
+            (r["conv_id"], r["turn_idx"], r["entity"], r["entity_type"], r["start"])
+            for r in m.collect()
+        }
+
+    assert key_set(df.repartition(1)) == key_set(df.repartition(13, "conv_id"))
