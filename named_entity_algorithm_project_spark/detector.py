@@ -129,7 +129,9 @@ def preprocess_text(text: str) -> Tuple[str, Dict[str, str]]:
     def _replace(match: "re.Match[str]") -> str:
         expansion = normalize_text(match.group("expansion"))
         abbreviation = match.group("abbr").strip()
-        abbreviation_map.setdefault(abbreviation, expansion)
+        # plain assignment: when a turn redefines an abbreviation the LAST
+        # expansion wins, mirroring preprocess_abstract (app.py:2847)
+        abbreviation_map[abbreviation] = expansion
         return f"{expansion} {abbreviation}"
 
     cleaned = ABBREVIATION_PATTERN.sub(_replace, text)

@@ -6,6 +6,10 @@ The reference scores entity-linking candidates with
 O(N²) dense matrix with a distributed inverted-index join — both the Spark
 stage and the pandas oracle share this generator and the same TF-IDF
 formula (smooth idf: ln((1+N)/(1+df)) + 1, raw tf, L2 normalization).
+
+The vectorizer's default preprocessing (``lowercase=True``) applies here
+too: case variants of a term (PCE / pce) must share n-grams exactly as the
+reference's TfidfVectorizer makes them.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ def char_wb_ngrams(text: str, min_n: int = MIN_N, max_n: int = MAX_N) -> List[st
     than ``min_n`` (padded) is emitted once, truncated."""
     if not text:
         return []
-    text = _WS.sub(" ", text)
+    text = _WS.sub(" ", text.lower())
     ngrams: List[str] = []
     for w in text.split():
         w = " " + w + " "

@@ -178,15 +178,17 @@ def extract_mentions(
 ) -> Tuple[DataFrame, DataFrame]:
     """Run extraction; returns (mentions, abbreviation_pairs).
 
-    Both outputs derive from ONE UDF invocation column, persisted so the
-    detector runs once per row even though two frames consume it. The
-    pipeline uses :func:`extract_combined` + a checkpoint write instead
-    (no cache residency); this convenience form serves ad-hoc queries and
-    tests.
+    Both outputs derive from ONE UDF invocation column, materialized via
+    localCheckpoint so the detector runs once per row even though two frames
+    consume it (unlike persist(), checkpoint blocks are released by the
+    ContextCleaner when the frame goes out of scope — repeated ad-hoc
+    invocations in one session don't accumulate cache residency). The
+    pipeline uses :func:`extract_combined` + a checkpoint write instead;
+    this convenience form serves ad-hoc queries and tests.
     """
     extracted = extract_combined(
         transcripts, text_col, key_cols, confidence_threshold, user_entities
-    ).persist()
+    ).localCheckpoint(eager=True)
     return split_extraction(extracted, key_cols)
 
 

@@ -308,8 +308,6 @@ def build_linking_tables(
         F.col("norm").alias("b"),
         F.col("types").alias("types_b"),
     )
-    len_a = F.length(F.regexp_replace(F.col("a"), r"\s", ""))
-    len_b = F.length(F.regexp_replace(F.col("b"), r"\s", ""))
     sim_edges = (
         scored.join(eff_a, "a")
         .join(eff_b, "b")
@@ -347,9 +345,16 @@ def build_linking_tables(
     extra_nodes = all_nodes_full.join(
         profiles.select("norm"), "norm", "left_anti"
     )
-    return LinkingTables(
-        norms=profiles_eff,
-        edges=edges,
-        extra_nodes=extra_nodes,
+    # Materialize the three output tables eagerly (they are vocabulary-sized,
+    # tiny next to the corpus), then release the cached intermediates so
+    # repeated invocations in one session don't accumulate cache blocks.
+    out = LinkingTables(
+        norms=profiles_eff.localCheckpoint(eager=True),
+        edges=edges.localCheckpoint(eager=True),
+        extra_nodes=extra_nodes.localCheckpoint(eager=True),
         base_threshold=base,
     )
+    profiles.unpersist()
+    abbr_gated.unpersist()
+    all_nodes.unpersist()
+    return out

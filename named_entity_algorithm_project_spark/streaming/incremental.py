@@ -4,8 +4,14 @@ The reference is batch-only (SURVEY §2.9); its "cached re-entry" (EP2) is
 incremental view maintenance over immutable base results. The streaming
 analog: an append-only transcripts directory consumed with a file source,
 each micro-batch running the SAME Stage-A extraction transform and appending
-to the extraction table, with Spark's own checkpoint directory providing
-exactly-once file tracking. Downstream stages (linking, components, triples)
+to the extraction table. Spark's checkpoint directory tracks consumed files
+(at-least-once batch delivery); end-to-end effectively-exactly-once comes
+from making each batch write IDEMPOTENT: extraction rows land in a
+``batch_id=K`` partition via dynamic partition overwrite (a retried batch
+replaces, never duplicates, its own partition) and the per-batch lineage
+marker — written LAST, exactly like io_tables.commit_bucket — gates replay:
+a batch whose marker already exists is skipped entirely.
+Downstream stages (linking, components, triples)
 are corpus-global — they rerun over the accumulated extraction table per
 the batch pipeline, exactly like the reference reapplies downstream passes
 over cached extraction results.
@@ -26,6 +32,62 @@ from pyspark.sql import functions as F
 
 from ..datagen import TRANSCRIPTS_SCHEMA
 from ..operators.extract import extract_combined
+
+
+def process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    extraction_path: str,
+    lineage_path: str,
+    confidence_threshold: float = 0.5,
+) -> bool:
+    """Idempotent per-batch commit (the foreachBatch body; exposed for
+    direct replay testing). Returns False when the batch was already
+    committed and skipped."""
+    t0 = time.time()
+    marker_dir = os.path.join(lineage_path, f"batch_id={int(batch_id)}")
+    if os.path.isdir(marker_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(marker_dir)
+    ):
+        # replayed batch that already committed — idempotent skip
+        return False
+    from pyspark.sql import Observation
+
+    obs = Observation(f"stream_batch_{batch_id}_{int(t0 * 1000)}")
+    extracted = (
+        extract_combined(batch_df, confidence_threshold=confidence_threshold)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_turns"),
+            F.coalesce(F.sum(F.size("ex.mentions")), F.lit(0)).alias(
+                "n_mentions"
+            ),
+        )
+    )
+    # dynamic partition overwrite: a retried batch replaces ONLY its own
+    # batch_id partition — no duplicate rows on replay
+    (
+        extracted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(extraction_path)
+    )
+    stats = obs.get
+    lineage = spark.createDataFrame(
+        [
+            (
+                int(stats["n_turns"] or 0),
+                int(stats["n_mentions"] or 0),
+                int((time.time() - t0) * 1000),
+            )
+        ],
+        "n_turns long, n_mentions long, wall_ms long",
+    )
+    # marker write is the commit point (idempotent: overwrite)
+    lineage.coalesce(1).write.mode("overwrite").parquet(marker_dir)
+    return True
 
 
 def incremental_extract(
@@ -52,28 +114,14 @@ def incremental_extract(
     checkpoint = os.path.join(output_dir, "_stream_checkpoint")
 
     def _process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        t0 = time.time()
-        extracted = extract_combined(
-            batch_df, confidence_threshold=confidence_threshold
-        ).persist()
-        extracted.write.mode("append").parquet(extraction_path)
-        stats = extracted.agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.coalesce(F.sum(F.size("ex.mentions")), F.lit(0)).alias("n_mentions"),
-        ).collect()[0]
-        extracted.unpersist()
-        lineage = spark.createDataFrame(
-            [
-                (
-                    int(batch_id),
-                    int(stats["n_turns"]),
-                    int(stats["n_mentions"]),
-                    int((time.time() - t0) * 1000),
-                )
-            ],
-            "batch_id long, n_turns long, n_mentions long, wall_ms long",
+        process_batch(
+            spark,
+            batch_df,
+            batch_id,
+            extraction_path,
+            lineage_path,
+            confidence_threshold,
         )
-        lineage.coalesce(1).write.mode("append").parquet(lineage_path)
 
     writer = (
         stream.writeStream.foreachBatch(_process_batch)

@@ -41,7 +41,8 @@ def test_tfidf_matches_sklearn_exactly():
     from sklearn.metrics.pairwise import cosine_similarity
 
     norms = ["polymer blend", "polymer blends", "P3HT", "organic solar cell",
-             "organic solar cells", "bandgap"]
+             "organic solar cells", "bandgap", "PCE", "pce", "Perovskite",
+             "perovskite"]
     vec = TfidfVectorizer(analyzer="char_wb", ngram_range=(3, 5))
     sk = cosine_similarity(vec.fit_transform(norms))
     ours = _tfidf_cosine_pairs(norms)
@@ -55,6 +56,7 @@ def test_spark_tfidf_matches_oracle(spark):
     norms = [
         "polymer blend", "polymer blends", "P3HT", "organic solar cell",
         "organic solar cells", "bandgap", "band gap", "mobility",
+        "PCE", "pce",
     ]
     oracle = _tfidf_cosine_pairs(norms)
     df = spark.createDataFrame([(n,) for n in norms], "norm string")
@@ -66,6 +68,9 @@ def test_spark_tfidf_matches_oracle(spark):
     assert set(pairs) == set(oracle)
     for k, v in oracle.items():
         assert pairs[k] == pytest.approx(v, abs=1e-9), k
+    # TfidfVectorizer's default lowercase=True preprocessing: case variants
+    # are identical vectors (app.py:3050 uses the sklearn default)
+    assert pairs[("PCE", "pce")] == pytest.approx(1.0, abs=1e-9)
 
 
 def test_base_threshold_formula():

@@ -47,6 +47,43 @@ def test_incremental_extract_drains_and_resumes(spark, tmp_path):
     assert sum(r["n_turns"] for r in rows_l) == len(rows)
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch_id) must not duplicate rows: the
+    data write is dynamic-partition-overwrite of batch_id=K, and a batch
+    whose lineage marker exists is skipped outright."""
+    from named_entity_algorithm_project_spark.streaming import process_batch
+
+    out_dir = str(tmp_path / "out_replay")
+    ex_path = os.path.join(out_dir, "ex")
+    ln_path = os.path.join(out_dir, "ln")
+    rows = generate_rows(n_convs=6, seed=23)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+
+    assert process_batch(spark, df, 0, ex_path, ln_path) is True
+    n1 = spark.read.parquet(ex_path).count()
+    assert n1 == len(rows)
+
+    # full replay after commit: skipped, nothing changes
+    assert process_batch(spark, df, 0, ex_path, ln_path) is False
+    assert spark.read.parquet(ex_path).count() == n1
+    assert spark.read.parquet(ln_path).count() == 1
+
+    # partial-failure replay: data written but marker missing -> the rerun
+    # overwrites the partition in place (still no duplicates)
+    import shutil
+
+    shutil.rmtree(os.path.join(ln_path, "batch_id=0"))
+    assert process_batch(spark, df, 0, ex_path, ln_path) is True
+    assert spark.read.parquet(ex_path).count() == n1
+    assert (
+        spark.read.parquet(ex_path)
+        .select("conv_id", "turn_idx")
+        .distinct()
+        .count()
+        == len(rows)
+    )
+
+
 def test_streaming_output_matches_batch(spark, tmp_path):
     from named_entity_algorithm_project_spark.operators.extract import (
         extract_mentions,
