@@ -4,7 +4,10 @@
 ``queries()``/``oracle_sql()`` expose the operator-level queries from
 named_entity_algorithm_project_spark.queries (SURVEY.md §2 coverage plus the
 training-data ops: dedup, similarity search, text analysis). KG-pipeline
-queries (q19-q21) are UDF/iterative and have no SQL oracle → rows-only.
+queries (q19-q21) are UDF/iterative; their oracle is the independent pandas
+reference pipeline (oracle.py), whose expected outputs oracle_sql()
+materializes to parquet (oracle_expected.ensure_expected) for DuckDB to
+read_parquet and hash-compare like every other query.
 """
 
 from __future__ import annotations
@@ -31,4 +34,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # regenerate the pandas-oracle expected tables (q19-q21) from current
+    # code before the driver runs the DuckDB side
+    from named_entity_algorithm_project_spark.oracle_expected import (
+        ensure_expected,
+    )
+
+    ensure_expected()
     return dict(ORACLES)

@@ -666,24 +666,41 @@ def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# KG pipeline over documents (non-SQL-expressible: rows-only checks)
+# KG pipeline over transcripts. These are UDF/iterative plans with no
+# closed-form SQL; their oracle is the independent pandas reference
+# implementation (oracle.py), whose expected outputs oracle_expected.py
+# materializes to parquet so DuckDB hash-compares them like any other query.
 # --------------------------------------------------------------------------
 
+from .oracle_expected import EXPECTED_PATHS as _KG_EXPECTED
+
+
 def _kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synthetic transcripts (FIXTURES.md §1), scaled with the
-    sf tier. (The driver's documents table is digit-free word salad — zero
-    extractable mentions — so the KG queries run on the seeded generator the
-    parity/bench suites use; input_hint: synthesize at small scale.)"""
+    """Deterministic synthetic transcripts (FIXTURES.md §1). Pinned to the
+    same (n_convs, seed) at every sf tier so the precomputed pandas-oracle
+    expectation matches at any scale the driver probes. (The driver's
+    documents table is digit-free word salad — zero extractable mentions —
+    so the KG queries run on the seeded generator the parity/bench suites
+    use; input_hint: synthesize at small scale.)"""
     from .datagen import generate_transcripts
+    from .oracle_expected import KG_N_CONVS, KG_SEED
 
-    n_convs = 400 if "0.1" in os.path.basename(sf_dir.rstrip("/")) else 150
-    return generate_transcripts(spark, n_convs=n_convs, seed=42)
+    return generate_transcripts(spark, n_convs=KG_N_CONVS, seed=KG_SEED)
 
 
-@_register("q19_kg_mentions")
+@_register(
+    "q19_kg_mentions",
+    f"""
+    SELECT entity_type,
+           CAST(n_mentions AS BIGINT) AS n_mentions,
+           CAST(n_unique AS BIGINT) AS n_unique
+    FROM read_parquet('{_KG_EXPECTED["q19_kg_mentions"]}')
+    """,
+)
 def q19_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full deterministic mention extraction (X1-X9) over transcripts;
-    per-type counts. No SQL oracle — the detector is a UDF."""
+    per-type counts. Oracle: pandas reference pipeline (oracle_mentions),
+    expected table materialized by oracle_expected.ensure_expected()."""
     from .operators.extract import extract_mentions
 
     mentions, _ = extract_mentions(_kg_transcripts(spark, sf_dir))
@@ -693,10 +710,19 @@ def q19_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q20_kg_triples")
+@_register(
+    "q20_kg_triples",
+    f"""
+    SELECT pred,
+           CAST(n_triples AS BIGINT) AS n_triples,
+           CAST(n_subjects AS BIGINT) AS n_subjects
+    FROM read_parquet('{_KG_EXPECTED["q20_kg_triples"]}')
+    """,
+)
 def q20_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-property has_value triples (J1) over transcripts
-    (canonical = identity here; linking exercised in q21)."""
+    (canonical = identity here; linking exercised in q21). Oracle: pandas
+    reference (oracle_triples) via materialized expectation."""
     from .operators.extract import extract_mentions
     from .operators.triples import build_triples
 
@@ -709,17 +735,29 @@ def q20_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q21_kg_linking")
+@_register(
+    "q21_kg_linking",
+    f"""
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(n_groups AS BIGINT) AS n_groups
+    FROM read_parquet('{_KG_EXPECTED["q21_kg_linking"]}')
+    """,
+)
 def q21_kg_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity linking + connected components over the synthetic transcripts
-    generator (documents lack alias variety): alias-group size histogram."""
+    generator (documents lack alias variety): alias-group size histogram.
+    Oracle: pandas reference (oracle_linking: TF-IDF N² cosine + DFS) via
+    materialized expectation."""
     from .datagen import generate_transcripts
     from .operators.canonical import pick_canonicals
     from .operators.components import connected_components
     from .operators.extract import extract_mentions
     from .operators.linking import build_linking_tables
+    from .oracle_expected import KG_LINKING_N_CONVS, KG_LINKING_SEED
 
-    transcripts = generate_transcripts(spark, n_convs=60, seed=11)
+    transcripts = generate_transcripts(
+        spark, n_convs=KG_LINKING_N_CONVS, seed=KG_LINKING_SEED
+    )
     mentions, abbrevs = extract_mentions(transcripts)
     linking = build_linking_tables(mentions, abbrevs)
     nodes = (
