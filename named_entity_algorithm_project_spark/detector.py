@@ -233,8 +233,13 @@ def extract_turn(
     text: Optional[str],
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_patterns: Optional[List[Tuple[str, str, "re.Pattern[str]"]]] = None,
+    reference_strict: bool = False,
 ) -> TurnExtraction:
-    """Full deterministic extraction for one turn of text."""
+    """Full deterministic extraction for one turn of text.
+
+    ``reference_strict`` replicates the reference's OBSERVED lonely-unit
+    behavior instead of the evidently-intended one — see :func:`_postfilter`.
+    """
     result = TurnExtraction()
     if not text or not str(text).strip():
         return result
@@ -355,12 +360,23 @@ def extract_turn(
                     )
                 )
 
-    mentions = _postfilter(mentions)
+    mentions = _postfilter(mentions, reference_strict=reference_strict)
     return TurnExtraction(mentions=mentions, abbreviations=result.abbreviations)
 
 
-def _postfilter(mentions: List[Mention]) -> List[Mention]:
-    """Post passes, in reference order (app.py:3895-3933)."""
+def _postfilter(
+    mentions: List[Mention], reference_strict: bool = False
+) -> List[Mention]:
+    """Post passes, in reference order (app.py:3895-3933).
+
+    ``reference_strict=False`` (default, pinned) runs lonely-unit
+    suppression with the unit itself EXCLUDED from the distance check.
+    ``reference_strict=True`` replicates the reference's observed behavior:
+    its distance check includes the unit itself (distance 0 < 50 always
+    passes, app.py:2577-2580) and NaN-start units are excluded by the
+    dropna before `units` is built (app.py:2563), so the reference pass
+    drops NOTHING — strict mode therefore skips the suppression entirely.
+    """
     # stable order: (entity_type, entity) mirrors the reference's sort
     mentions = sorted(
         mentions,
@@ -383,27 +399,32 @@ def _postfilter(mentions: List[Mention]) -> List[Mention]:
 
     # lonely-unit suppression (app.py:2543-2589): unit-looking PROP_VALUE
     # spans with no OTHER PROP_VALUE start within 50 chars are dropped.
-    # (The reference's distance check includes the unit itself — distance 0 —
-    # so its pass only drops NaN-start units; we pin the evidently intended
-    # semantics, self excluded, shared with the oracle.)
-    value_starts = [
-        m.start
-        for m in mentions
-        if m.entity_type == "PROP_VALUE" and m.start is not None
-    ]
-    kept: List[Mention] = []
-    for m in mentions:
-        if (
-            m.entity_type == "PROP_VALUE"
-            and m.start is not None  # offset-less rows skip the check (the
-            # reference's dropna excludes them, app.py:2560)
-            and UNIT_ONLY_PATTERN.match(m.entity)
-        ):
-            near = any(vs != m.start and abs(vs - m.start) < 50 for vs in value_starts)
-            if not near:
-                continue
-        kept.append(m)
-    mentions = kept
+    # (The reference's distance check includes the unit itself — distance 0
+    # always passes — so its pass drops nothing; we pin the evidently
+    # intended semantics, self excluded, shared with the oracle. Strict
+    # mode reproduces the reference's observed no-op — docstring above.)
+    if not reference_strict:
+        value_starts = [
+            m.start
+            for m in mentions
+            if m.entity_type == "PROP_VALUE" and m.start is not None
+        ]
+        kept: List[Mention] = []
+        for m in mentions:
+            if (
+                m.entity_type == "PROP_VALUE"
+                and m.start is not None  # offset-less rows skip the check
+                # (the reference's dropna excludes them, app.py:2560)
+                and UNIT_ONLY_PATTERN.match(m.entity)
+            ):
+                near = any(
+                    vs != m.start and abs(vs - m.start) < 50
+                    for vs in value_starts
+                )
+                if not near:
+                    continue
+            kept.append(m)
+        mentions = kept
 
     # trim + verb/length filter (app.py:2408-2521)
     out: List[Mention] = []

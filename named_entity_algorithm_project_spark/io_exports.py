@@ -50,11 +50,17 @@ def wide_entities(
 ) -> DataFrame:
     """X9 per-document wide view (app.py:3871-3879): one sorted distinct
     entity list column per entity type, plus All Entities and the Entity Map
-    (map<type, array<entity>>) — built as ONE pivot, not a per-row loop."""
+    (map<type, array<entity>>) — built as ONE pivot, not a per-row loop.
+
+    The pivot gets the closed ENTITY_TYPES vocabulary explicitly: without
+    it Spark runs an extra distinct-scan job just to discover the column
+    set, and the output schema would vary with the data."""
+    from .detector import ENTITY_TYPES
+
     keys = list(key_cols)
     pivoted = (
         mentions.groupBy(*keys)
-        .pivot("entity_type")
+        .pivot("entity_type", ENTITY_TYPES)
         .agg(F.array_sort(F.collect_set("entity")))
     )
     type_cols = [c for c in pivoted.columns if c not in keys]

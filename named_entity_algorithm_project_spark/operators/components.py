@@ -14,8 +14,11 @@ Scale notes:
 * iterations = O(component diameter); linking components are alias
   groups/similarity cliques with tiny diameters (≤ ~6), so the loop
   terminates in a handful of rounds even at 10^12-turn vocabularies.
-  (The O(log n) large-star/small-star variant drops in here if diameters
-  ever grow; the interface is a pure edges->labels DataFrame transform.)
+  When a pathological graph (long chains) blows past the iteration budget,
+  ``algorithm="auto"`` (default) falls back to the O(log n)-round
+  large-star/small-star variant (:func:`connected_components_star`,
+  Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+  behind the same nodes+edges -> labels contract.
 * each round is a shuffle on node id; hub nodes (e.g. "polymer") are heavy
   keys — the min() aggregation does map-side partial aggregation (Spark
   hash-aggregate), which is exactly the salting this agg needs, and AQE
@@ -36,6 +39,8 @@ def connected_components(
     max_iterations: int = 25,
     local_threshold: int = 200_000,
     salt_partitions: int = 8,
+    algorithm: str = "auto",
+    hash_to_min_budget: int = 8,
 ) -> DataFrame:
     """Compute components.
 
@@ -48,6 +53,11 @@ def connected_components(
             judgement call as broadcasting the canonical map; the iterative
             path takes over beyond the cutoff and is what the 10^12-turn case
             runs). Pass 0 to force the distributed path (tests do).
+        algorithm: "auto" (hash-to-min, falling back to large/small-star
+            after ``hash_to_min_budget`` non-converged rounds — O(diameter)
+            for the common tiny-diameter alias graphs, O(log n) worst case),
+            "hash_to_min" (no fallback; raises past max_iterations), or
+            "star" (large/small-star from the start).
 
     Returns:
         DataFrame (norm, component) where component = lexicographic min of
@@ -67,6 +77,8 @@ def connected_components(
             return spark.createDataFrame(
                 sorted(mapping.items()), "norm string, component string"
             )
+    if algorithm == "star":
+        return _star_labels(nodes, edges, max_rounds=max_iterations)
     # Materialize the edge list once: without this every iteration would
     # re-execute the full upstream DAG (TF-IDF similarity join included).
     sym = (
@@ -81,7 +93,12 @@ def connected_components(
         F.col("norm"), F.col("norm").alias("component")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    budget = (
+        min(hash_to_min_budget, max_iterations)
+        if algorithm == "auto"
+        else max_iterations
+    )
+    for _ in range(budget):
         # two-stage salted min: hub nodes ("polymer"-style entities with
         # thousands of similarity neighbors) spread their partial mins over
         # salt_partitions reducers before the final per-node min (on top of
@@ -121,9 +138,96 @@ def connected_components(
         if changed == 0:
             return labels
 
+    if algorithm == "auto":
+        # diameter exceeded the hash-to-min budget (long-chain graph) —
+        # switch to the O(log n)-round star algorithm from scratch (the
+        # budget rounds are sunk cost; correctness is unaffected)
+        return _star_labels(nodes, edges, max_rounds=max_iterations)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. §3): every node connects its
+    strictly-greater neighbors to the minimum of its closed neighborhood."""
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least(F.col("mn"), F.col("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large->small; every node connects its
+    small neighbors (and itself) to the minimum small neighbor."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    with_min = oriented.join(mins, "src")
+    to_small = with_min.select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edge = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        to_small.unionByName(self_edge)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _edge_checksum(e: DataFrame):
+    """(count, hash-sum) fingerprint for convergence detection — one job."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            # decimal accumulator: a plain long sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _star_labels(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Alternating large-star/small-star to convergence: O(log n) rounds on
+    any graph shape (the long-chain worst case hash-to-min handles poorly).
+    At the fixed point every edge is (member -> component minimum)."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_checksum(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_rounds} rounds"
+        )
+    # fixed point: e is exactly {(member, min)}; singletons label themselves
+    labels = e.select(F.col("src").alias("norm"), F.col("dst").alias("component"))
+    singletons = nodes.join(
+        labels.select("norm"), "norm", "left_anti"
+    ).select("norm", F.col("norm").alias("component"))
+    return labels.unionByName(singletons)
 
 
 def _local_components(nodes: list, edges: list) -> dict:

@@ -88,10 +88,12 @@ ABBREVS_TABLE_SCHEMA = T.StructType(
 def extraction_udf(
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
+    reference_strict: bool = False,
 ):
     """Build the Arrow-batched extraction UDF. ``user_entities`` is the
     small (term, type) user-gazetteer dimension, captured in the closure
-    (implicit broadcast, app.py:1974-2094)."""
+    (implicit broadcast, app.py:1974-2094). ``reference_strict`` toggles
+    the reference's observed lonely-unit semantics (detector._postfilter)."""
     user_entities = list(user_entities or [])
 
     @F.pandas_udf(EXTRACTION_STRUCT)
@@ -106,6 +108,7 @@ def extraction_udf(
                 text,
                 confidence_threshold=confidence_threshold,
                 user_patterns=patterns,
+                reference_strict=reference_strict,
             )
             mentions_out.append(
                 [
@@ -136,15 +139,17 @@ def extract_combined(
     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
+    reference_strict: bool = False,
 ) -> DataFrame:
     """One row per turn: key_cols + ``ex`` struct<mentions, abbreviations>.
     This is the Stage-A checkpoint payload — writing it verbatim means the
     detector UDF runs exactly once per turn, ever; mentions/abbrevs explode
     lazily from the stored arrays on read."""
     keys = [F.col(c) for c in key_cols]
+    udf = extraction_udf(confidence_threshold, user_entities, reference_strict)
     return transcripts.select(
         *keys,
-        extraction_udf(confidence_threshold, user_entities)(F.col(text_col)).alias("ex"),
+        udf(F.col(text_col)).alias("ex"),
     )
 
 
@@ -175,6 +180,7 @@ def extract_mentions(
     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
+    reference_strict: bool = False,
 ) -> Tuple[DataFrame, DataFrame]:
     """Run extraction; returns (mentions, abbreviation_pairs).
 
@@ -187,7 +193,12 @@ def extract_mentions(
     this convenience form serves ad-hoc queries and tests.
     """
     extracted = extract_combined(
-        transcripts, text_col, key_cols, confidence_threshold, user_entities
+        transcripts,
+        text_col,
+        key_cols,
+        confidence_threshold,
+        user_entities,
+        reference_strict,
     ).localCheckpoint(eager=True)
     return split_extraction(extracted, key_cols)
 

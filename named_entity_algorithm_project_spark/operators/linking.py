@@ -17,10 +17,22 @@ least one n-gram, which is also the only set that can score > 0.
 Skew: ubiquitous n-grams (" po", "ly") make some (a, b) partial products
 land on few reducers; the pair-sum aggregation is explicitly salted
 (two-stage: (pair, salt) partial sums → pair total), on top of AQE skew-join
-splitting. ``candidate_max_df`` optionally drops n-grams present in more
-than that fraction of norms from the join entirely — at 100 TB vocabulary
-scale this turns the join into a classic prefix-filtered similarity join
-(slightly lossy, off by default to preserve reference parity).
+splitting. But salting only fixes the REDUCE side — the join *output* is
+quadratic in per-n-gram document frequency: an n-gram present in 10⁶ norms
+emits ~10¹² candidate rows before any aggregation. ``candidate_max_df``
+drops such n-grams from the join entirely (the classic prefix-filtered
+similarity join). It is AUTO-ENABLED above ``auto_block_min_vocab`` unique
+norms (default 50k) at ``min(5% of the vocabulary, auto_block_df_abs)`` —
+the absolute bound matters because the join output is Σ_g df_g², quadratic
+in per-gram df whatever the fraction: below the threshold the
+small-corpus reference parity is exact; above
+it the cap is what makes the join feasible at all. Dropping a df>5%·N
+n-gram loses little signal (its smooth idf is near the 1.0 floor, so it
+contributes the least cosine mass): the capped score is a LOWER BOUND on
+the exact cosine, measured short by <=0.06 with >=0.99 retention of pairs
+0.05 above the threshold (tests/test_linking.py::test_auto_blocking_recall),
+and the abbreviation/alias edge unions carry most true merges anyway
+(SURVEY §7.4).
 
 Edge gates (reference parity, app.py:3140-3183):
   * protected-term pairs never merge (both endpoints protected)
@@ -156,6 +168,96 @@ def similarity_pairs(
     return partial.groupBy("a", "b").agg(F.sum("part").alias("score"))
 
 
+def semantic_pairs_exact(
+    norms: DataFrame, dim: int = 64
+) -> DataFrame:
+    """L4 scoring, exact form: (a, b, score) = embedding cosine for EVERY
+    norm pair (the reference's dense matrix, app.py:3084-3110). O(N²) — the
+    parity baseline for small vocabularies; the scale path is
+    :func:`semantic_pairs_lsh`. Embeddings are L2-normalized, so the dot
+    product IS the cosine."""
+    from ..functions.embed import embedding_udf
+
+    emb = norms.select(
+        "norm", embedding_udf(dim)(F.col("norm")).alias("v")
+    )
+    left = emb.select(F.col("norm").alias("a"), F.col("v").alias("va"))
+    right = emb.select(F.col("norm").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        left.crossJoin(right)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", dot.alias("score"))
+    )
+
+
+def semantic_pairs_lsh(
+    norms: DataFrame,
+    dim: int = 64,
+    bands: int = 4,
+    band_bits: int = 4,
+) -> DataFrame:
+    """L4 scoring, scale form: banded random-hyperplane LSH blocks the
+    candidate space (a pair is a candidate when ANY band of sign-projection
+    bits matches exactly — the same banding scheme the MinHash dedup uses),
+    then exact cosine re-ranks inside the blocks.
+
+    Recall for a pair with cosine c: per-plane agreement p = 1 - acos(c)/π,
+    candidate prob = 1 - (1 - p^band_bits)^bands — ~0.99 at c=0.95 and
+    ~0.87 at c=0.80 with the 4x4 default; raise ``bands`` for more recall,
+    ``band_bits`` for tighter blocks. Every emitted score is exact, so this
+    is a strict subset of :func:`semantic_pairs_exact` (tested)."""
+    from ..functions.embed import embedding_udf
+    from .similarity import _signature_udf
+
+    n_planes = bands * band_bits
+    mask = (1 << band_bits) - 1
+    emb = norms.select(
+        "norm", embedding_udf(dim)(F.col("norm")).alias("v")
+    ).withColumn("sig", _signature_udf(dim, n_planes)(F.col("v")))
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("sig"), k * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for k in range(bands)
+        ]
+    )
+    exploded = emb.select(
+        "norm", "v", F.explode(band_keys).alias("bk")
+    ).select("norm", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = exploded.select(
+        F.col("norm").alias("a"), F.col("v").alias("va"), "band", "key"
+    )
+    right = exploded.select(
+        F.col("norm").alias("b"), F.col("v").alias("vb"), "band", "key"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", dot.alias("score"))
+        # a pair can collide in several bands; scores are identical
+        .groupBy("a", "b")
+        .agg(F.max("score").alias("score"))
+    )
+
+
 def abbreviation_edges(abbrevs: DataFrame) -> DataFrame:
     """Distinct (src=abbr_norm, dst=expansion_norm) pairs from the per-turn
     abbreviation registry (app.py:3027-3043). Gating happens in
@@ -195,6 +297,48 @@ def domain_alias_edges(all_nodes: DataFrame) -> DataFrame:
     return out.distinct()
 
 
+def gate_scored_pairs(
+    scored: DataFrame,
+    profiles_eff: DataFrame,
+    protected: list,
+    base: float,
+) -> DataFrame:
+    """The reference's edge gate cascade (app.py:3140-3183), applied to ANY
+    (a, b, score) candidate source — TF-IDF inverted-index scores and
+    semantic-embedding scores go through the identical gates, exactly as
+    _build_cluster_maps treats its similarity_lookup regardless of origin."""
+    eff_a = profiles_eff.select(
+        F.col("norm").alias("a"),
+        F.col("types").alias("types_a"),
+    )
+    eff_b = profiles_eff.select(
+        F.col("norm").alias("b"),
+        F.col("types").alias("types_b"),
+    )
+    return (
+        scored.join(eff_a, "a")
+        .join(eff_b, "b")
+        .filter(~(F.col("a").isin(*protected) & F.col("b").isin(*protected)))
+        .filter(
+            F.col("score")
+            >= F.least(
+                adaptive_threshold_col(F.col("a"), base),
+                adaptive_threshold_col(F.col("b"), base),
+            )
+        )
+        # short-vs-long guard (_can_merge_terms): min length <= 2 with a
+        # longer partner never merges
+        .filter(
+            ~(
+                (F.least(F.length("a"), F.length("b")) <= 2)
+                & (F.length("a") != F.length("b"))
+            )
+        )
+        .filter(_types_compatible_cols(F.col("types_a"), F.col("types_b")))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
 def _types_compatible_cols(types_a, types_b):
     """Column form of _types_compatible (app.py:3015-3024) on two
     array<string> columns (missing/empty treated as {UNKNOWN})."""
@@ -212,8 +356,30 @@ def build_linking_tables(
     abbrevs: DataFrame,
     salt_partitions: int = 16,
     candidate_max_df: Optional[int] = None,
+    auto_block_min_vocab: int = 50_000,
+    auto_block_df_frac: float = 0.05,
+    auto_block_df_abs: int = 4_000,
+    score_source: str = "tfidf",
+    embed_dim: int = 64,
 ) -> LinkingTables:
-    """Assemble the full gated edge list for connected components."""
+    """Assemble the full gated edge list for connected components.
+
+    ``score_source`` selects the candidate scorer feeding the (shared) gate
+    cascade: "tfidf" (default — the reference's primary path),
+    "semantic_exact" (L4, embedding cosine over every pair — the reference's
+    use_semantic path, app.py:3084-3110; O(N²), small vocabularies), or
+    "semantic_lsh" (L4 at scale: LSH-blocked candidates, exact re-rank).
+
+    ``candidate_max_df=None`` means AUTO: exact (no n-gram dropped) while the
+    vocabulary is under ``auto_block_min_vocab`` unique norms, else capped at
+    ``min(auto_block_df_frac * n_norms, auto_block_df_abs)``. The join's
+    output is Σ_g df_g² — a FRACTIONAL cap alone leaves it quadratic in N
+    (5% of 10⁶ is a 50k-df gram emitting 2.5G candidate rows), so the
+    absolute bound is what actually caps per-gram fanout at web scale;
+    scripts/linking_bench.py records the measured curves. Pass an explicit
+    int to force a cap, or ``auto_block_min_vocab=0`` to force exact at any
+    size.
+    """
     spark = mentions.sparkSession
     linkable = linkable_mentions(mentions)
     profiles = norm_profiles(linkable).persist()
@@ -224,6 +390,14 @@ def build_linking_tables(
     ).collect()[0]
     n_rows, n_norms = stats["n_rows"], stats["n_norms"]
     base = compute_base_threshold(n_rows)
+    if (
+        candidate_max_df is None
+        and auto_block_min_vocab
+        and n_norms > auto_block_min_vocab
+    ):
+        candidate_max_df = min(
+            max(int(auto_block_df_frac * n_norms), 100), auto_block_df_abs
+        )
 
     protected = sorted(PROTECTED_TERMS)
 
@@ -287,49 +461,25 @@ def build_linking_tables(
     all_nodes_full = all_nodes.unionByName(alias_nodes).distinct()
 
     # --- similarity edges -----------------------------------------------------
-    weights = tfidf_weights(profiles.select("norm"), n_norms)
-    tf_df_counts = (
-        weights.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
-        if candidate_max_df is not None
-        else None
-    )
-    scored = similarity_pairs(
-        weights,
-        salt_partitions=salt_partitions,
-        candidate_max_df=candidate_max_df,
-        df_counts=tf_df_counts,
-    )
+    if score_source == "semantic_exact":
+        scored = semantic_pairs_exact(profiles.select("norm"), dim=embed_dim)
+    elif score_source == "semantic_lsh":
+        scored = semantic_pairs_lsh(profiles.select("norm"), dim=embed_dim)
+    else:
+        weights = tfidf_weights(profiles.select("norm"), n_norms)
+        tf_df_counts = (
+            weights.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+            if candidate_max_df is not None
+            else None
+        )
+        scored = similarity_pairs(
+            weights,
+            salt_partitions=salt_partitions,
+            candidate_max_df=candidate_max_df,
+            df_counts=tf_df_counts,
+        )
 
-    eff_a = profiles_eff.select(
-        F.col("norm").alias("a"),
-        F.col("types").alias("types_a"),
-    )
-    eff_b = profiles_eff.select(
-        F.col("norm").alias("b"),
-        F.col("types").alias("types_b"),
-    )
-    sim_edges = (
-        scored.join(eff_a, "a")
-        .join(eff_b, "b")
-        .filter(~(F.col("a").isin(*protected) & F.col("b").isin(*protected)))
-        .filter(
-            F.col("score")
-            >= F.least(
-                adaptive_threshold_col(F.col("a"), base),
-                adaptive_threshold_col(F.col("b"), base),
-            )
-        )
-        # short-vs-long guard (_can_merge_terms): min length <= 2 with a
-        # longer partner never merges
-        .filter(
-            ~(
-                (F.least(F.length("a"), F.length("b")) <= 2)
-                & (F.length("a") != F.length("b"))
-            )
-        )
-        .filter(_types_compatible_cols(F.col("types_a"), F.col("types_b")))
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
+    sim_edges = gate_scored_pairs(scored, profiles_eff, protected, base)
 
     edges = (
         abbr_gated.unionByName(alias_edges)

@@ -3,7 +3,8 @@
   cosine_topk         brute-force exact top-k (the baseline; one pass, JVM
                       higher-order functions, broadcast query vector)
   rp_lsh_buckets      random-hyperplane LSH signatures (deterministic,
-                      xxhash64-derived planes — no RNG state to ship)
+                      PCG64-seeded plane matrix; ONE Arrow-batched numpy
+                      matmul, not dim x n_planes expression nodes)
   lsh_topk            bucketed ANN: probe matching buckets only, exact
                       re-rank inside — the scale path
 
@@ -11,14 +12,26 @@ At 100 TB the brute-force scan is one full pass (fine for one-off queries,
 wrong for query streams); rp_lsh assigns each vector to a signature bucket
 so a query touches |bucket| << N vectors. Signature hamming-neighborhood
 probing widens recall.
+
+Plane generation note: an expression-tree signature (one Catalyst node per
+plane x dim) blows up to ~12k nodes at dim=768 x 16 planes — codegen bails
+and planning crawls. The signature is therefore computed in a single
+vectorized pandas UDF: batch matrix (n, dim) @ plane matrix (dim, n_planes)
+-> sign bits -> int64. The plane matrix is regenerated identically on every
+executor from a fixed PCG64 seed (numpy's stream is stable across
+platforms/versions by spec), so there is still zero shipped state.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b) -> "F.Column":
@@ -66,30 +79,36 @@ def cosine_topk(
     )
 
 
-def _plane_component(plane: int, dim_idx: int) -> "F.Column":
-    """Deterministic pseudo-gaussian hyperplane component from xxhash64 —
-    reproducible across runs/executors with zero shipped state."""
-    h = F.xxhash64(F.lit(plane), F.lit(dim_idx))
-    # map int64 -> [-1, 1); uniform is fine for sign-projection LSH
-    return (h.cast("double") / F.lit(float(2**63)))
+PLANE_SEED = 0x5E11A
 
 
-def rp_lsh_signature(
-    vec_col: "F.Column", dim: int, n_planes: int = 16
-) -> "F.Column":
-    """Sign-projection signature: bit i = (v . plane_i) >= 0."""
-    sig = None
-    for p in range(n_planes):
-        proj = None
-        for d in range(dim):
-            term = F.element_at(vec_col, d + 1).cast("double") * _plane_component(p, d)
-            proj = term if proj is None else proj + term
-        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, p)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return sig
+@lru_cache(maxsize=8)
+def _plane_matrix(dim: int, n_planes: int, seed: int = PLANE_SEED) -> np.ndarray:
+    """(dim, n_planes) gaussian hyperplane matrix from a fixed PCG64 seed —
+    identical on every executor, no broadcast needed (a few KB anyway)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((dim, n_planes))
+
+
+def rp_lsh_signature_np(vecs: np.ndarray, dim: int, n_planes: int = 16) -> np.ndarray:
+    """Sign-projection signatures for a (n, dim) batch: bit i = (v . plane_i) >= 0.
+    Shared by the executor UDF and the driver-side query-signature path."""
+    planes = _plane_matrix(dim, n_planes)
+    proj = vecs.astype(np.float64, copy=False) @ planes
+    bits = (proj >= 0).astype(np.int64)
+    weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
+    return bits @ weights
+
+
+def _signature_udf(dim: int, n_planes: int):
+    @F.pandas_udf(T.LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        batch = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(rp_lsh_signature_np(batch, dim, n_planes))
+
+    return _sig
 
 
 def rp_lsh_buckets(
@@ -100,11 +119,12 @@ def rp_lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, embedding, bucket) — write-once index table, partitioned by
-    bucket so a probe prunes partitions."""
+    bucket so a probe prunes partitions. One Arrow-batched matmul per
+    partition; the plan carries a single projection node at any dim."""
     return vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        rp_lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        _signature_udf(dim, n_planes)(F.col(vec_col)).alias("bucket"),
     )
 
 
@@ -122,14 +142,13 @@ def lsh_topk(
     probe_hamming."""
     import itertools
 
-    spark = indexed.sparkSession
-    qv = F.array(*[F.lit(float(x)) for x in query])
-    q_sig_row = (
-        spark.range(1)
-        .select(rp_lsh_signature(qv, len(query), n_planes).alias("sig"))
-        .collect()[0]
+    # query signature computed driver-side with the same numpy path — no
+    # one-row Spark job
+    q_sig = int(
+        rp_lsh_signature_np(
+            np.asarray([query], dtype=np.float64), len(query), n_planes
+        )[0]
     )
-    q_sig = q_sig_row["sig"]
     probes = [q_sig]
     for r in range(1, probe_hamming + 1):
         for bits in itertools.combinations(range(n_planes), r):

@@ -33,6 +33,7 @@ def oracle_mentions(
     transcripts: pd.DataFrame,
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
+    reference_strict: bool = False,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """Stage A: mentions + abbreviation pairs."""
     patterns = compile_user_patterns(user_entities) if user_entities else None
@@ -40,7 +41,10 @@ def oracle_mentions(
     abbrev_rows = []
     for rec in transcripts.itertuples(index=False):
         result = extract_turn(
-            rec.text, confidence_threshold=confidence_threshold, user_patterns=patterns
+            rec.text,
+            confidence_threshold=confidence_threshold,
+            user_patterns=patterns,
+            reference_strict=reference_strict,
         )
         for m in result.mentions:
             mention_rows.append(
@@ -114,10 +118,33 @@ def _tfidf_cosine_pairs(norms: List[str]) -> Dict[Tuple[str, str], float]:
     return out
 
 
+def _semantic_cosine_pairs(norms: List[str]) -> Dict[Tuple[str, str], float]:
+    """Dense numpy cosine over the stub embedder (the reference's
+    use_semantic path, app.py:3084-3110) — O(N²), oracle only."""
+    from .functions.embed import cosine_matrix
+
+    if not norms:
+        return {}
+    mat = cosine_matrix(list(norms))
+    out: Dict[Tuple[str, str], float] = {}
+    n = len(norms)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = norms[i], norms[j]
+            key = (a, b) if a < b else (b, a)
+            out[key] = float(mat[i, j])
+    return out
+
+
 def oracle_linking(
-    mentions: pd.DataFrame, abbrevs: pd.DataFrame
+    mentions: pd.DataFrame,
+    abbrevs: pd.DataFrame,
+    score_source: str = "tfidf",
 ) -> Tuple[Dict[str, str], Dict[str, Set[str]]]:
-    """Stages B+C: canonical_map + alias_groups."""
+    """Stages B+C: canonical_map + alias_groups. ``score_source`` mirrors
+    build_linking_tables: "tfidf" or "semantic" (both feed the same gates,
+    exactly as the reference's _build_cluster_maps treats its
+    similarity_lookup regardless of origin)."""
     linkable = mentions[
         ~mentions["entity_type"].str.upper().isin(SKIP_TYPES)
     ].copy()
@@ -182,7 +209,10 @@ def oracle_linking(
                 all_terms.add(alias)
 
     # similarity edges over corpus norms
-    pair_scores = _tfidf_cosine_pairs(unique_norms)
+    if score_source == "semantic":
+        pair_scores = _semantic_cosine_pairs(unique_norms)
+    else:
+        pair_scores = _tfidf_cosine_pairs(unique_norms)
     sim_edges: Set[Tuple[str, str]] = set()
     for (a, b), score in pair_scores.items():
         if a in PROTECTED_TERMS and b in PROTECTED_TERMS:

@@ -32,6 +32,7 @@ from .detector import DEFAULT_CONFIDENCE_THRESHOLD
 from .io_tables import (
     StageAPaths,
     commit_bucket,
+    commit_buckets_batch,
     committed_buckets,
     read_stage_a,
     write_table,
@@ -57,6 +58,21 @@ class PipelineConfig:
     user_entities: List[Tuple[str, str]] = field(default_factory=list)
     user_canonical: Optional[Mapping[str, List[str]]] = None
     merge_map: Optional[Mapping[str, str]] = None
+    # Stage-A commit strategy. "batch" (default) writes every pending bucket
+    # in ONE job (partitionBy(bucket) + dynamic overwrite) and then commits
+    # the per-bucket lineage markers — at 1000 buckets the per-job fixed
+    # cost of the sequential loop would dominate the stage. "sequential"
+    # keeps the one-job-per-bucket loop: finer mid-stage failure granularity
+    # (a crash loses at most one bucket's work instead of the in-flight
+    # batch), useful when extraction wall >> job overhead.
+    stage_a_mode: str = "batch"
+    # replicate the reference's OBSERVED lonely-unit pass (a no-op) instead
+    # of the pinned self-excluded semantics — detector._postfilter docstring
+    reference_strict: bool = False
+    # linking candidate scorer: "tfidf" (reference primary path),
+    # "semantic_exact" (L4 embedding cosine, O(N²) — small vocab), or
+    # "semantic_lsh" (L4 banded-LSH blocked — the scale path)
+    score_source: str = "tfidf"
 
 
 @dataclass
@@ -105,7 +121,26 @@ def run_pipeline(
     done = set(committed_buckets(spark, paths)) if resume else set()
     lineage_rows: List[dict] = []
     pending = [b for b in range(config.n_buckets) if b not in done]
-    if pending:
+    if pending and config.stage_a_mode == "batch":
+        subset = (
+            bucketed.filter(F.col("bucket").isin(pending)) if done else bucketed
+        )
+        extracted = extract_combined(
+            subset,
+            key_cols=("conv_id", "turn_idx", "bucket"),
+            confidence_threshold=config.confidence_threshold,
+            user_entities=config.user_entities,
+            reference_strict=config.reference_strict,
+        )
+        lineage_rows = commit_buckets_batch(
+            spark,
+            paths,
+            pending,
+            extracted,
+            run_id,
+            fail_after_buckets=fail_after_buckets,
+        )
+    elif pending:
         # Cache the bucketed input once; each bucket job filters it.
         bucketed = bucketed.persist()
         try:
@@ -119,6 +154,7 @@ def run_pipeline(
                     subset,
                     confidence_threshold=config.confidence_threshold,
                     user_entities=config.user_entities,
+                    reference_strict=config.reference_strict,
                 )
                 lineage_rows.append(
                     commit_bucket(spark, paths, bucket, extracted, run_id)
@@ -134,6 +170,7 @@ def run_pipeline(
         abbrevs,
         salt_partitions=config.salt_partitions,
         candidate_max_df=config.candidate_max_df,
+        score_source=config.score_source,
     )
 
     # ---------------- Stage C: components + canonical pick ----------------
@@ -165,27 +202,6 @@ def run_pipeline(
     triples = has_value.unionByName(mention_facts).unionByName(same_as)
 
     # ---------------- Stage E: materialize --------------------------------
-    # pipeline-level metrics (the lineage table holds per-bucket Stage-A
-    # rows; this table holds the downstream-stage counters the reference
-    # surfaced as run stats, app.py:3523-3601)
-    triples = triples.persist()
-    pred_counts = {
-        r["pred"]: r["n"]
-        for r in triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    metrics_rows = [
-        ("base_threshold", float(linking.base_threshold)),
-        ("n_canonical_norms", float(canonical_map.count())),
-        ("n_merged_norms", float(
-            canonical_map.filter(F.col("norm") != F.col("canonical")).count()
-        )),
-        ("n_triples_has_value", float(pred_counts.get("has_value", 0))),
-        ("n_triples_mentions", float(pred_counts.get("mentions", 0))),
-        ("n_triples_same_as", float(pred_counts.get("same_as", 0))),
-    ]
-    metrics = spark.createDataFrame(metrics_rows, "metric string, value double")
-    write_table(metrics.coalesce(1), os.path.join(output_dir, "metrics"))
-
     entities = mentions.select(
         "conv_id",
         "turn_idx",
@@ -204,15 +220,53 @@ def run_pipeline(
         entities.repartition(F.col("conv_id")),
         os.path.join(output_dir, "entities_canonical"),
     )
+    # pipeline-level metrics (the lineage table holds per-bucket Stage-A
+    # rows; this table holds the downstream-stage counters the reference
+    # surfaced as run stats, app.py:3523-3601). Per-pred counts ride the
+    # triples WRITE job via observe — the predicate vocabulary is closed,
+    # so no separate groupBy job (and no triples persist) is needed.
+    from pyspark.sql import Observation
+
+    obs = Observation("stage_e_triples")
+    triples_observed = triples.observe(
+        obs,
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("pred") == p, 1).otherwise(0)), F.lit(0)
+            ).alias(f"n_{p}")
+            for p in ("has_value", "mentions", "same_as")
+        ],
+    )
     # repartition on (pred, conv_id): partitionBy(pred) still writes clean
     # per-pred directories, but the write parallelizes across all tasks —
     # repartitioning on pred alone would funnel everything through 3 tasks
     # (one per predicate), a data-proportional serial choke
     write_table(
-        triples.repartition(F.col("pred"), F.col("conv_id")),
+        triples_observed.repartition(F.col("pred"), F.col("conv_id")),
         os.path.join(output_dir, "triples"),
         partition_by=["pred"],
     )
+    pred_counts = obs.get
+    # one multi-agg job for both canonical-map counters (was two jobs)
+    cm_stats = canonical_map.agg(
+        F.count(F.lit(1)).alias("n_norms"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("norm") != F.col("canonical"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_merged"),
+    ).collect()[0]
+    metrics_rows = [
+        ("base_threshold", float(linking.base_threshold)),
+        ("n_canonical_norms", float(cm_stats["n_norms"])),
+        ("n_merged_norms", float(cm_stats["n_merged"])),
+        ("n_triples_has_value", float(pred_counts["n_has_value"])),
+        ("n_triples_mentions", float(pred_counts["n_mentions"])),
+        ("n_triples_same_as", float(pred_counts["n_same_as"])),
+    ]
+    metrics = spark.createDataFrame(metrics_rows, "metric string, value double")
+    write_table(metrics.coalesce(1), os.path.join(output_dir, "metrics"))
     write_table(canonical_map, os.path.join(output_dir, "canonical_map"))
     write_table(
         alias_groups(canonical_map), os.path.join(output_dir, "alias_groups")
@@ -226,7 +280,6 @@ def run_pipeline(
     triples_rb = spark.read.schema(triples.schema).parquet(
         os.path.join(output_dir, "triples")
     )
-    triples.unpersist()
     canonical_map.unpersist()
     return PipelineResult(
         mentions=entities_rb,

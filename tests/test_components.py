@@ -73,6 +73,60 @@ def test_chain_graph_converges(spark):
     assert {r["component"] for r in got} == {nodes[0]}
 
 
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(4, 50, 35), (5, 80, 100)])
+def test_star_algorithm_matches_dfs(spark, seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    nodes = [f"s{i:03d}" for i in range(n_nodes)]
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    expected = _dfs_components(nodes, edges)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "norm string")
+    edges_df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    got = {
+        r["norm"]: r["component"]
+        for r in connected_components(
+            nodes_df, edges_df, local_threshold=0, algorithm="star"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_adversarial_long_chain_auto_fallback(spark):
+    """Diameter-120 path: hash-to-min is O(diameter) and blows its budget;
+    auto mode must switch to large/small-star (O(log n) rounds) and still
+    produce the exact DFS labels."""
+    n = 120
+    nodes = [f"x{i:03d}" for i in range(n)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(n - 1)]
+    expected = _dfs_components(nodes, set(edges))
+    nodes_df = spark.createDataFrame([(x,) for x in nodes], "norm string")
+    edges_df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["norm"]: r["component"]
+        for r in connected_components(
+            nodes_df,
+            edges_df,
+            max_iterations=25,
+            local_threshold=0,
+            hash_to_min_budget=5,
+        ).collect()
+    }
+    assert got == expected
+
+    # explicit hash_to_min with an insufficient budget must raise, not
+    # silently return partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            nodes_df,
+            edges_df,
+            max_iterations=5,
+            local_threshold=0,
+            algorithm="hash_to_min",
+        )
+
+
 def test_singletons_preserved(spark):
     nodes_df = spark.createDataFrame([("a",), ("b",), ("c",)], "norm string")
     edges_df = spark.createDataFrame([], "src string, dst string")

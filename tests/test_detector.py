@@ -119,6 +119,44 @@ def test_lonely_unit_suppression_direct():
     assert "AFM" in {m.entity for m in no_offset}
 
 
+def test_reference_strict_lonely_units_exact_delta():
+    """reference_strict=True reproduces the reference's OBSERVED pass — a
+    no-op (the unit itself sits in `values`, distance 0 always passes,
+    app.py:2577-2580) — so the two modes differ by EXACTLY the lonely
+    unit-only rows the pinned semantics drop."""
+    from named_entity_algorithm_project_spark.detector import Mention, _postfilter
+
+    def mk(entity, etype, start):
+        return Mention(
+            entity=entity,
+            entity_norm=entity.lower(),
+            entity_type=etype,
+            confidence=0.9,
+            start=start,
+            end=None if start is None else start + len(entity),
+        )
+
+    rows = [
+        mk("nm", "PROP_VALUE", 200),   # lonely unit: pinned drops, strict keeps
+        mk("mV", "PROP_VALUE", 30),    # near a value: both keep
+        mk("120", "PROP_VALUE", 0),    # numeric value: both keep
+        mk("bandgap", "PROP_NAME", 10),
+    ]
+    pinned = {m.entity for m in _postfilter(list(rows))}
+    strict = {m.entity for m in _postfilter(list(rows), reference_strict=True)}
+    assert strict - pinned == {"nm"}
+    assert pinned == {"mV", "120", "bandgap"}
+    assert strict == {"nm", "mV", "120", "bandgap"}
+
+    # end-to-end: the flag flows through extract_turn
+    from named_entity_algorithm_project_spark.detector import extract_turn
+
+    text = "The film thickness was measured carefully over nm" + " pad" * 20
+    a = {m.entity for m in extract_turn(text).mentions}
+    b = {m.entity for m in extract_turn(text, reference_strict=True).mentions}
+    assert a <= b  # strict only ever keeps more
+
+
 def test_determinism():
     text = "The PCE of P3HT reached 15.3 % after annealing (ANN) treatment"
     a = extract_turn(text)

@@ -156,6 +156,90 @@ def test_candidate_max_df_blocking_is_subset(spark):
     assert blocked <= exact
 
 
+def test_auto_blocking_recall(spark):
+    """The auto df-cap (5% of the vocabulary — the default above 50k unique
+    norms) is a prefix-filter with BOUNDED loss: the capped score is a lower
+    bound on the exact cosine, short by at most the mass of the dropped
+    (idf-floor) n-grams. Contract verified here at a vocabulary where the
+    cap actually operates (the generator corpus is too small):
+
+      1. capped candidate pairs/scores are a subset / lower bound
+      2. the loss is small: score delta <= 0.06 on every exact pair >= 0.8
+      3. margin recall: >= 0.99 of pairs scoring >= threshold+0.05 in the
+         exact path still clear the threshold after capping (true merges
+         score well above the floor; abbrev/alias edges cover the rest —
+         SURVEY §7.4)
+    """
+    import random
+    import string
+
+    from named_entity_algorithm_project_spark.operators.linking import (
+        similarity_pairs,
+        tfidf_weights,
+    )
+
+    rng = random.Random(5)
+    # Zipf-ish vocabulary: short COMMON prefixes (their grams exceed the df
+    # cap, like real morphological stopgrams) + long RARE cores that carry
+    # each near-duplicate pair's similarity mass.
+    prefixes = ["pol", "met", "oxi", "ben", "ami", "chl", "flu", "nan"]
+    words = sorted(
+        {
+            rng.choice(prefixes)
+            + "".join(
+                rng.choice(string.ascii_lowercase)
+                for _ in range(rng.randint(8, 12))
+            )
+            for _ in range(400)
+        }
+    )
+    base = sorted(
+        {
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+            for _ in range(700)
+        }
+    )[:600]
+    variants = []
+    for t in base[:200]:
+        variants.append(t + "s" if rng.random() < 0.5 else t.replace(" ", "-", 1))
+    norms = sorted(set(base) | set(variants))
+    n = len(norms)
+    cap = max(int(0.05 * n), 1)
+    thresh = 0.8
+
+    df = spark.createDataFrame([(x,) for x in norms], "norm string")
+    weights = tfidf_weights(df, n).localCheckpoint(eager=True)
+    df_counts = weights.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+
+    def scores(capped):
+        pairs = similarity_pairs(
+            weights,
+            salt_partitions=4,
+            candidate_max_df=cap if capped else None,
+            df_counts=df_counts if capped else None,
+        )
+        return {
+            (r["a"], r["b"]): r["score"]
+            for r in pairs.filter(F.col("score") >= 0.5).collect()
+        }
+
+    exact = scores(False)
+    capped = scores(True)
+    hot = {k for k, s in exact.items() if s >= thresh}
+    assert len(hot) >= 100, "fixture produced too few above-threshold pairs"
+    # 1. lower bound
+    for k in hot:
+        assert capped.get(k, 0.0) <= exact[k] + 1e-9
+    # 2. bounded loss
+    max_delta = max(exact[k] - capped.get(k, 0.0) for k in hot)
+    assert max_delta <= 0.06, f"df-cap dropped {max_delta:.3f} cosine mass"
+    # 3. margin recall
+    margin = {k for k, s in exact.items() if s >= thresh + 0.05}
+    kept = {k for k in margin if capped.get(k, 0.0) >= thresh}
+    recall = len(kept) / max(len(margin), 1)
+    assert recall >= 0.99, f"margin recall {recall:.4f} at cap {cap} (n={n})"
+
+
 def test_extraction_invariant_under_partitioning(spark):
     """Mentions are identical whatever the input partitioning (narrow map —
     no order- or partition-dependence)."""

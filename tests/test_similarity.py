@@ -69,6 +69,46 @@ def test_lsh_topk_recall(vec_df, vectors):
     assert 0 in approx
 
 
+def test_lsh_buckets_highdim_matches_numpy(spark):
+    """dim=768 x 16 planes: the signature must stay ONE vectorized UDF (an
+    expression-tree form is ~12k Catalyst nodes and stalls planning) and
+    must equal the numpy reference bit-for-bit."""
+    import time
+
+    import numpy as np
+
+    from named_entity_algorithm_project_spark.operators.similarity import (
+        rp_lsh_signature_np,
+    )
+
+    dim, n, n_planes = 768, 200, 16
+    rng = np.random.Generator(np.random.PCG64(7))
+    mat = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    t0 = time.time()
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in rp_lsh_buckets(df, dim=dim, n_planes=n_planes).collect()
+    }
+    wall = time.time() - t0
+    # float32 storage round-trip: compare against signatures of the f32 data
+    expected = rp_lsh_signature_np(
+        mat.astype(np.float32).astype(np.float64), dim, n_planes
+    )
+    assert got == {i: int(expected[i]) for i in range(n)}
+    assert wall < 30, f"high-dim signature took {wall:.1f}s — planning blowup?"
+    # ANN probe end-to-end at high dim
+    indexed = rp_lsh_buckets(df, dim=dim, n_planes=n_planes)
+    top = lsh_topk(
+        indexed, [float(x) for x in mat[0]], k=5, n_planes=n_planes,
+        probe_hamming=1,
+    ).collect()
+    assert top and top[0]["vec_id"] == 0
+
+
 def test_lsh_buckets_deterministic(vec_df):
     a = {r["vec_id"]: r["bucket"] for r in rp_lsh_buckets(vec_df, DIM, 8).collect()}
     b = {r["vec_id"]: r["bucket"] for r in rp_lsh_buckets(vec_df, DIM, 8).collect()}
