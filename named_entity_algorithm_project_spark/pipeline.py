@@ -246,7 +246,25 @@ def run_pipeline(
         os.path.join(output_dir, "triples"),
         partition_by=["pred"],
     )
-    pred_counts = obs.get
+    try:
+        pred_counts = obs.get
+    except Exception:
+        # zero-row input: the CollectMetrics row never materializes and
+        # obs.get trips a JVM assertion — fall back to counting the (empty)
+        # written table directly
+        rb = spark.read.schema(triples.schema).parquet(
+            os.path.join(output_dir, "triples")
+        )
+        cnt = {
+            r["pred"]: r["n"]
+            for r in rb.groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        pred_counts = {
+            f"n_{p}": cnt.get(p, 0)
+            for p in ("has_value", "mentions", "same_as")
+        }
     # one multi-agg job for both canonical-map counters (was two jobs)
     cm_stats = canonical_map.agg(
         F.count(F.lit(1)).alias("n_norms"),
