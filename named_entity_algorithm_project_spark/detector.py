@@ -234,8 +234,16 @@ def extract_turn(
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_patterns: Optional[List[Tuple[str, str, "re.Pattern[str]"]]] = None,
     reference_strict: bool = False,
+    span_fn=None,
 ) -> TurnExtraction:
-    """Full deterministic extraction for one turn of text.
+    """Full extraction for one turn of text.
+
+    ``span_fn`` is the pluggable span detector: ``work_text -> [(start,
+    end, text, hint, confidence)]``. Default is the deterministic scanner
+    (:func:`_scan_spans`, the reference's DummyPipeline path); the neural
+    token-classification detector (operators/neural.py — chunk → infer →
+    offset remap, app.py:3619-3933) plugs in here, and EVERYTHING after the
+    span list (typing cascade, injections, dedup, post-filters) is shared.
 
     ``reference_strict`` replicates the reference's OBSERVED lonely-unit
     behavior instead of the evidently-intended one — see :func:`_postfilter`.
@@ -262,7 +270,7 @@ def extract_turn(
     per_type_seen: Dict[str, set] = {}
     existing_norms: set[str] = set()
 
-    for start, end, raw_word, hint, conf in _scan_spans(work_text):
+    for start, end, raw_word, hint, conf in (span_fn or _scan_spans)(work_text):
         word = normalize_text(raw_word)
         if not word:
             continue

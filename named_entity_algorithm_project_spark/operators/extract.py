@@ -140,13 +140,28 @@ def extract_combined(
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
     reference_strict: bool = False,
+    detector: str = "deterministic",
 ) -> DataFrame:
     """One row per turn: key_cols + ``ex`` struct<mentions, abbreviations>.
     This is the Stage-A checkpoint payload — writing it verbatim means the
     detector UDF runs exactly once per turn, ever; mentions/abbrevs explode
-    lazily from the stored arrays on read."""
+    lazily from the stored arrays on read.
+
+    ``detector`` picks the span source behind the SAME UDF interface and
+    output schema: "deterministic" (the reference's DummyPipeline path) or
+    "neural[:<model>]" (X2/X3 — 512-token chunking, per-worker model
+    singleton, batched inference; ":stub" or no suffix uses the
+    deterministic fake in model-less environments — operators/neural.py)."""
     keys = [F.col(c) for c in key_cols]
-    udf = extraction_udf(confidence_threshold, user_entities, reference_strict)
+    if detector.startswith("neural"):
+        from .neural import neural_extraction_udf
+
+        model_name = detector.split(":", 1)[1] if ":" in detector else "stub"
+        udf = neural_extraction_udf(
+            model_name, confidence_threshold, user_entities, reference_strict
+        )
+    else:
+        udf = extraction_udf(confidence_threshold, user_entities, reference_strict)
     return transcripts.select(
         *keys,
         udf(F.col(text_col)).alias("ex"),

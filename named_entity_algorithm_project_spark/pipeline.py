@@ -69,6 +69,10 @@ class PipelineConfig:
     # replicate the reference's OBSERVED lonely-unit pass (a no-op) instead
     # of the pinned self-excluded semantics — detector._postfilter docstring
     reference_strict: bool = False
+    # span detector: "deterministic" (reference DummyPipeline path) or
+    # "neural[:<hf-model>]" (X2/X3: chunking + per-worker model singleton +
+    # batched inference; ":stub" in model-less environments)
+    detector: str = "deterministic"
     # linking candidate scorer: "tfidf" (reference primary path),
     # "semantic_exact" (L4 embedding cosine, O(N²) — small vocab), or
     # "semantic_lsh" (L4 banded-LSH blocked — the scale path)
@@ -131,6 +135,7 @@ def run_pipeline(
             confidence_threshold=config.confidence_threshold,
             user_entities=config.user_entities,
             reference_strict=config.reference_strict,
+            detector=config.detector,
         )
         lineage_rows = commit_buckets_batch(
             spark,
@@ -155,6 +160,7 @@ def run_pipeline(
                     confidence_threshold=config.confidence_threshold,
                     user_entities=config.user_entities,
                     reference_strict=config.reference_strict,
+                    detector=config.detector,
                 )
                 lineage_rows.append(
                     commit_bucket(spark, paths, bucket, extracted, run_id)
