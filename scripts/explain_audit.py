@@ -90,17 +90,48 @@ def main() -> None:
         out.extend(key_lines(formatted(QUERIES[name](spark, sf))))
         out.append("```")
 
-    # KG pipeline stage frames
+    # KG pipeline stage frames. extract_mentions/build_linking_tables now
+    # localCheckpoint their outputs (cache-hygiene), which truncates the
+    # lineage .explain would show — so audit the PRE-checkpoint plans the
+    # pipeline actually executes.
+    from pyspark.sql import functions as F
+
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_combined,
+        split_extraction,
+    )
+    from named_entity_algorithm_project_spark.operators.linking import (
+        linkable_mentions,
+        norm_profiles,
+        similarity_pairs,
+        tfidf_weights,
+    )
+
     t = generate_transcripts(spark, n_convs=50, seed=42)
+    combined = extract_combined(t)
+    out.append(
+        "\n## kg: extraction (extract_combined — the Stage-A write plan)\n"
+        "\nONE ArrowEvalPython node: the detector UDF runs once per turn and"
+        "\nthe struct is written verbatim. Exploding BEFORE materializing"
+        "\nwould duplicate the UDF (Catalyst re-evaluates the column in the"
+        "\nGenerate's pre-filter), which is exactly why the pipeline writes"
+        "\nthe combined struct first and split_extraction works on the"
+        "\ncheckpointed/written frame.\n```"
+    )
+    out.extend(key_lines(formatted(combined)))
+    out.append("```")
+
     mentions, abbrevs = extract_mentions(t)
-    out.append("\n## kg: extract_mentions\n```")
-    out.extend(key_lines(formatted(mentions)))
+    profiles = norm_profiles(linkable_mentions(mentions))
+    weights = tfidf_weights(profiles.select("norm"), 1000)
+    scored = similarity_pairs(weights, salt_partitions=16)
+    out.append(
+        "\n## kg: tfidf similarity scoring (inverted-index join + salted agg)\n```"
+    )
+    out.extend(key_lines(formatted(scored.filter(F.col("score") >= 0.8))))
     out.append("```")
 
     linking = build_linking_tables(mentions, abbrevs)
-    out.append("\n## kg: linking edges (tfidf inverted-index join)\n```")
-    out.extend(key_lines(formatted(linking.edges)))
-    out.append("```")
 
     nodes = (
         linking.norms.select("norm")
