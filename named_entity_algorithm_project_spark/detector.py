@@ -124,6 +124,10 @@ def preprocess_text(text: str) -> Tuple[str, Dict[str, str]]:
     ``expansion (ABBR)`` to ``expansion ABBR`` and harvest the pairs."""
     if not text:
         return "", {}
+    if "(" not in text:
+        # both rewrite patterns require a parenthesis — regex-free fast
+        # path for the (majority) of turns that define no abbreviation
+        return text, {}
     abbreviation_map: Dict[str, str] = {}
 
     def _replace(match: "re.Match[str]") -> str:

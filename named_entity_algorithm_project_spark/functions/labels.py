@@ -8,6 +8,7 @@ reference's runtime model-config override is intentionally dropped.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from ..dictionaries import (
     LABEL2ID,
@@ -19,17 +20,28 @@ from ..dictionaries import (
 _WS = re.compile(r"\s+")
 
 
-def normalize_label_from_config(label: object) -> str:
-    """app.py:552-556 — strip BIO prefix, unify separators, uppercase."""
-    cleaned = "" if label is None else str(label).strip()
+@lru_cache(maxsize=4096)
+def _normalize_label_cached(cleaned: str) -> str:
     cleaned = re.sub(r"^[BIES]-", "", cleaned, flags=re.IGNORECASE)
     cleaned = cleaned.replace("-", "_").replace(" ", "_")
     return cleaned.upper()
 
 
+def normalize_label_from_config(label: object) -> str:
+    """app.py:552-556 — strip BIO prefix, unify separators, uppercase.
+    Pure function of the string; label vocabulary is tiny, so the cached
+    core carries the hot extraction path."""
+    return _normalize_label_cached("" if label is None else str(label).strip())
+
+
 def canonicalize_label(label: object) -> str:
-    """app.py:661-683 — map any raw label to the active schema or UNKNOWN."""
-    raw = "" if label is None else str(label).strip()
+    """app.py:661-683 — map any raw label to the active schema or UNKNOWN.
+    Cached: pure string function over a tiny label vocabulary."""
+    return _canonicalize_cached("" if label is None else str(label).strip())
+
+
+@lru_cache(maxsize=4096)
+def _canonicalize_cached(raw: str) -> str:
     if not raw:
         return "UNKNOWN"
     normalized = normalize_label_from_config(raw)

@@ -17,10 +17,18 @@ _NON_ALNUM_RE = re.compile(r"[^a-z0-9\s]")
 
 
 def normalize_text(value: object) -> str:
-    """Collapse whitespace + strip (app.py:1419-1422)."""
+    """Collapse whitespace + strip (app.py:1419-1422). Fast path: texts
+    with no tabs/newlines/double spaces need only a strip — identical
+    output, skips the regex scan on the hot extraction path."""
     if value is None:
         return ""
-    return _WS_RE.sub(" ", str(value)).strip()
+    s = str(value)
+    # ascii guard: \s also matches unicode whitespace (NBSP etc.) — only
+    # ascii texts may take the regex-free path
+    if s.isascii() and "  " not in s and "\t" not in s and "\n" not in s \
+            and "\r" not in s and "\x0b" not in s and "\x0c" not in s:
+        return s.strip()
+    return _WS_RE.sub(" ", s).strip()
 
 
 def normalize_text_col(col: Column) -> Column:

@@ -27,12 +27,19 @@ from ..dictionaries import (
 )
 from .labels import canonicalize_label
 
+from functools import lru_cache
+
 
 def domain_category_for(token: Optional[str]) -> Optional[str]:
-    """Gazetteer category lookup (app.py:3410-3421)."""
+    """Gazetteer category lookup (app.py:3410-3421). Cached — the mention
+    vocabulary repeats heavily inside a corpus."""
     if not token:
         return None
-    key = str(token).lower().strip()
+    return _domain_category_cached(str(token).lower().strip())
+
+
+@lru_cache(maxsize=65536)
+def _domain_category_cached(key: str) -> Optional[str]:
     mapped = DOMAIN_TERM_CATEGORIES.get(key)
     if mapped is None:
         mapped = DOMAIN_TERM_CATEGORIES.get(key.replace("-", " "))
@@ -44,7 +51,13 @@ def domain_category_for(token: Optional[str]) -> Optional[str]:
 
 def map_entity_type(entity_group: Optional[str], text: Optional[str]) -> str:
     """Rule cascade: gazetteer -> model label -> value/unit regex -> keyword
-    sets -> material pattern -> UNKNOWN (app.py:3450-3489)."""
+    sets -> material pattern -> UNKNOWN (app.py:3450-3489). Cached: a pure
+    function of two small-vocabulary strings."""
+    return _map_entity_type_cached(entity_group or "", text or "")
+
+
+@lru_cache(maxsize=65536)
+def _map_entity_type_cached(entity_group: str, text: str) -> str:
     normalized = (text or "").strip()
     if not normalized:
         return "UNKNOWN"

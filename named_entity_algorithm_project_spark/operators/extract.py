@@ -196,6 +196,7 @@ def extract_mentions(
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
     reference_strict: bool = False,
+    detector: str = "deterministic",
 ) -> Tuple[DataFrame, DataFrame]:
     """Run extraction; returns (mentions, abbreviation_pairs).
 
@@ -214,6 +215,7 @@ def extract_mentions(
         confidence_threshold,
         user_entities,
         reference_strict,
+        detector,
     ).localCheckpoint(eager=True)
     return split_extraction(extracted, key_cols)
 

@@ -34,8 +34,10 @@ def oracle_mentions(
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
     reference_strict: bool = False,
+    span_fn=None,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
-    """Stage A: mentions + abbreviation pairs."""
+    """Stage A: mentions + abbreviation pairs. ``span_fn`` mirrors
+    extract_turn's pluggable span source (neural-path oracle)."""
     patterns = compile_user_patterns(user_entities) if user_entities else None
     mention_rows = []
     abbrev_rows = []
@@ -45,6 +47,7 @@ def oracle_mentions(
             confidence_threshold=confidence_threshold,
             user_patterns=patterns,
             reference_strict=reference_strict,
+            span_fn=span_fn,
         )
         for m in result.mentions:
             mention_rows.append(

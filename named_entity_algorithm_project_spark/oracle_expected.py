@@ -37,9 +37,14 @@ KG_LINKING_N_CONVS = 60
 KG_LINKING_SEED = 11
 
 EXPECTED_PATHS = {
-    "q19_kg_mentions": os.path.join(EXPECTED_DIR, "q19_kg_mentions.parquet"),
-    "q20_kg_triples": os.path.join(EXPECTED_DIR, "q20_kg_triples.parquet"),
-    "q21_kg_linking": os.path.join(EXPECTED_DIR, "q21_kg_linking.parquet"),
+    name: os.path.join(EXPECTED_DIR, f"{name}.parquet")
+    for name in (
+        "q19_kg_mentions",
+        "q20_kg_triples",
+        "q21_kg_linking",
+        "q31_kg_semantic_linking",
+        "q32_kg_neural_mentions",
+    )
 }
 
 
@@ -105,10 +110,56 @@ def expected_q21() -> pd.DataFrame:
     return out
 
 
+def expected_q31() -> pd.DataFrame:
+    """q21's histogram with the L4 semantic scorer (reference use_semantic
+    path, app.py:3084-3110) feeding the same gates."""
+    from collections import Counter
+
+    mentions, abbrevs = oracle_mentions(
+        _transcripts_pdf(KG_LINKING_N_CONVS, KG_LINKING_SEED)
+    )
+    canonical_map, _groups = oracle_linking(
+        mentions, abbrevs, score_source="semantic"
+    )
+    sizes = Counter(canonical_map.values())
+    hist = Counter(sizes.values())
+    out = pd.DataFrame(
+        sorted(hist.items()), columns=["group_size", "n_groups"]
+    )
+    out["group_size"] = out["group_size"].astype("int64")
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return out
+
+
+def expected_q32() -> pd.DataFrame:
+    """q19's rollup through the NEURAL plumbing (chunk -> stub inference ->
+    offset remap): the stub emits the deterministic scanner's spans, so any
+    divergence from the Spark neural path is a chunking/remap/dedup bug."""
+    from .operators.neural import StubTokenClassifier, neural_span_fn
+
+    span_fn = neural_span_fn(StubTokenClassifier())
+    mentions, _ = oracle_mentions(
+        _transcripts_pdf(KG_N_CONVS, KG_SEED), span_fn=span_fn
+    )
+    out = (
+        mentions.groupby("entity_type")
+        .agg(
+            n_mentions=("entity", "size"),
+            n_unique=("entity_norm", "nunique"),
+        )
+        .reset_index()
+    )
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    out["n_unique"] = out["n_unique"].astype("int64")
+    return out[["entity_type", "n_mentions", "n_unique"]]
+
+
 _BUILDERS = {
     "q19_kg_mentions": expected_q19,
     "q20_kg_triples": expected_q20,
     "q21_kg_linking": expected_q21,
+    "q31_kg_semantic_linking": expected_q31,
+    "q32_kg_neural_mentions": expected_q32,
 }
 
 _GENERATED = False

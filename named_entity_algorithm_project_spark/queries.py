@@ -775,6 +775,73 @@ def q21_kg_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q31_kg_semantic_linking",
+    f"""
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(n_groups AS BIGINT) AS n_groups
+    FROM read_parquet('{_KG_EXPECTED["q31_kg_semantic_linking"]}')
+    """,
+)
+def q31_kg_semantic_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 semantic-embedding linking end-to-end (reference use_semantic
+    path, app.py:3084-3110): stub-embedder cosine through the shared gate
+    cascade, components, canonical pick — alias-group size histogram.
+    Oracle: pandas reference with the numpy N² cosine matrix."""
+    from .operators.canonical import pick_canonicals
+    from .operators.components import connected_components
+    from .operators.extract import extract_mentions
+    from .operators.linking import build_linking_tables
+    from .datagen import generate_transcripts
+    from .oracle_expected import KG_LINKING_N_CONVS, KG_LINKING_SEED
+
+    transcripts = generate_transcripts(
+        spark, n_convs=KG_LINKING_N_CONVS, seed=KG_LINKING_SEED
+    )
+    mentions, abbrevs = extract_mentions(transcripts)
+    linking = build_linking_tables(
+        mentions, abbrevs, score_source="semantic_exact"
+    )
+    nodes = (
+        linking.norms.select("norm")
+        .unionByName(linking.extra_nodes.select("norm"))
+        .distinct()
+    )
+    comps = connected_components(nodes, linking.edges)
+    cmap = pick_canonicals(comps, linking.norms)
+    group_sizes = cmap.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return group_sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+
+
+@_register(
+    "q32_kg_neural_mentions",
+    f"""
+    SELECT entity_type,
+           CAST(n_mentions AS BIGINT) AS n_mentions,
+           CAST(n_unique AS BIGINT) AS n_unique
+    FROM read_parquet('{_KG_EXPECTED["q32_kg_neural_mentions"]}')
+    """,
+)
+def q32_kg_neural_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 neural detection plumbing under the driver gate: 512-token
+    chunking, per-worker model singleton, batched stub inference, offset
+    remap (app.py:2854-2943, 3707-3755). Oracle: pandas reference through
+    the same neural span source."""
+    from .operators.extract import extract_mentions
+
+    mentions, _ = extract_mentions(
+        _kg_transcripts(spark, sf_dir), detector="neural:stub"
+    )
+    return mentions.groupBy("entity_type").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("entity_norm").alias("n_unique"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Additional SURVEY §2 coverage (filters, set predicates, ranking, strings)
 # --------------------------------------------------------------------------
