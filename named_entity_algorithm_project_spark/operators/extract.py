@@ -141,6 +141,7 @@ def extract_combined(
     user_entities: Optional[List[Tuple[str, str]]] = None,
     reference_strict: bool = False,
     detector: str = "deterministic",
+    added_tokens: Optional[List[str]] = None,
 ) -> DataFrame:
     """One row per turn: key_cols + ``ex`` struct<mentions, abbreviations>.
     This is the Stage-A checkpoint payload — writing it verbatim means the
@@ -158,7 +159,11 @@ def extract_combined(
 
         model_name = detector.split(":", 1)[1] if ":" in detector else "stub"
         udf = neural_extraction_udf(
-            model_name, confidence_threshold, user_entities, reference_strict
+            model_name,
+            confidence_threshold,
+            user_entities,
+            reference_strict,
+            added_tokens,
         )
     else:
         udf = extraction_udf(confidence_threshold, user_entities, reference_strict)

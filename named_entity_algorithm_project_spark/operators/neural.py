@@ -93,7 +93,23 @@ class StubTokenClassifier:
     from the SAME combined-alternation scan the deterministic detector uses
     — so the neural plumbing's output is directly comparable to the
     deterministic path's. Accepts a list of texts (batched call), like an
-    HF pipeline."""
+    HF pipeline, and mirrors the tokenizer vocab-extension surface
+    (get_vocab/add_tokens) so X8 exercises real bookkeeping."""
+
+    def __init__(self):
+        self._vocab: dict = {}
+        self._ner_added_tokens: List[str] = []
+
+    def get_vocab(self) -> dict:
+        return dict(self._vocab)
+
+    def add_tokens(self, tokens: List[str]) -> int:
+        added = 0
+        for t in tokens:
+            if t not in self._vocab:
+                self._vocab[t] = len(self._vocab)
+                added += 1
+        return added
 
     def __call__(self, texts: List[str]) -> List[List[dict]]:
         out = []
@@ -165,6 +181,67 @@ def get_model(model_name: str):
     return _MODEL_CACHE[model_name]
 
 
+def ensure_vocab_extension(model, tokens) -> int:
+    """X8 — tokenizer vocab extension (app.py:3425-3447 static domain
+    tokens; app.py:3676-3686 corpus-discovered abbreviations): add every
+    token absent from the vocab (case-insensitive) and not already added,
+    resize embeddings when anything was added, and track the added set in
+    ``_ner_added_tokens`` exactly like the reference. Idempotent — safe to
+    call per Arrow batch on the worker singleton. Returns #added."""
+    tok_owner = model
+    resize_target = None
+    pipe = getattr(model, "_pipe", None)
+    if pipe is not None:  # HF adapter: extend the real tokenizer/model
+        tok_owner = pipe.tokenizer
+        resize_target = pipe.model
+    vocab = set()
+    if hasattr(tok_owner, "get_vocab"):
+        vocab = set(tok_owner.get_vocab().keys())
+    existing = set(getattr(tok_owner, "_ner_added_tokens", []))
+    new_tokens = [
+        t
+        for t in tokens
+        if t and t not in vocab and t.lower() not in vocab and t not in existing
+    ]
+    if not new_tokens:
+        return 0
+    num_added = tok_owner.add_tokens(new_tokens)
+    if num_added > 0 and resize_target is not None:  # pragma: no cover
+        resize_target.resize_token_embeddings(len(tok_owner))
+    tok_owner._ner_added_tokens = sorted(existing.union(new_tokens))
+    return num_added
+
+
+def harvest_abbreviation_tokens(transcripts, text_col: str = "text") -> List[str]:
+    """Corpus-global abbreviation harvest feeding X8 (the reference
+    pre-scans prepared_records for abbreviation_tokens, app.py:3676-3681).
+
+    Spark shape: filter to turns that can define an abbreviation (literal
+    parenthesis — the same fast-path predicate preprocess_text uses, pushed
+    into the scan), ONE Arrow-batched UDF running the shared
+    preprocess_text, explode + distinct. The result is a vocabulary-scale
+    dimension (like the canonical map), so collecting it is a broadcast-
+    scale judgement call, returned as a sorted list for determinism."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..detector import preprocess_text
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _abbrs(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: sorted(preprocess_text(str(t))[1].keys()) if t else []
+        )
+
+    rows = (
+        transcripts.filter(F.col(text_col).contains("("))
+        .select(F.explode(_abbrs(F.col(text_col))).alias("tok"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["tok"] for r in rows)
+
+
 def spans_from_predictions(
     work_text: str, chunk_preds: List[Tuple[int, List[dict]]]
 ) -> List[Tuple[int, int, str, str, float]]:
@@ -209,18 +286,24 @@ def neural_extraction_udf(
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     user_entities: Optional[List[Tuple[str, str]]] = None,
     reference_strict: bool = False,
+    added_tokens: Optional[List[str]] = None,
 ):
     """Arrow-batched extraction UDF with the neural span source. Ships only
-    the model NAME; the worker resolves it through the singleton cache."""
+    the model NAME (plus the small X8 vocab-extension token list); the
+    worker resolves the model through the singleton cache and applies the
+    vocab extension idempotently."""
     from pyspark.sql import functions as F
 
     user_entities = list(user_entities or [])
+    added_tokens = list(added_tokens or [])
 
     @F.pandas_udf(EXTRACTION_STRUCT)
     def _extract(texts: pd.Series) -> pd.DataFrame:
         from ..detector import preprocess_text
 
         model = get_model(model_name)
+        if added_tokens:
+            ensure_vocab_extension(model, added_tokens)
         patterns = compile_user_patterns(user_entities) if user_entities else None
         # Phase 1 — ONE inference call for the whole Arrow batch: chunk
         # every turn, flatten, infer, regroup. (preprocess_text runs again

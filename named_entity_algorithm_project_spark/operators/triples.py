@@ -145,17 +145,29 @@ def mention_triples(
     mentions: DataFrame,
     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """(doc, 'mentions', canonical) per distinct mention (SURVEY §7.1)."""
+    """(doc, 'mentions', canonical) per distinct mention (SURVEY §7.1).
+
+    Dedup is an explicit max-confidence aggregation, not dropDuplicates:
+    dropDuplicates keeps an ARBITRARY survivor's confidence (partition-
+    order dependent — a determinism hole), and aggregating on the narrow
+    (keys, obj) projection shuffles 4 small columns instead of the full
+    row."""
     keys = list(key_cols)
-    return (
+    deduped = (
         mentions.select(
-            F.concat_ws("#", *[F.col(k).cast("string") for k in keys]).alias("subj"),
-            F.lit("mentions").alias("pred"),
-            F.coalesce(F.col("canonical"), F.col("entity_norm")).alias("obj"),
             *keys,
+            F.coalesce(F.col("canonical"), F.col("entity_norm")).alias("obj"),
             F.col("confidence"),
         )
-        .dropDuplicates(["subj", "obj"])
+        .groupBy(*keys, "obj")
+        .agg(F.max("confidence").alias("confidence"))
+    )
+    return deduped.select(
+        F.concat_ws("#", *[F.col(k).cast("string") for k in keys]).alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("obj"),
+        *keys,
+        F.col("confidence"),
     )
 
 

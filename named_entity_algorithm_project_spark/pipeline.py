@@ -73,6 +73,10 @@ class PipelineConfig:
     # "neural[:<hf-model>]" (X2/X3: chunking + per-worker model singleton +
     # batched inference; ":stub" in model-less environments)
     detector: str = "deterministic"
+    # X8: harvest corpus abbreviation tokens in a cheap pre-pass and extend
+    # the neural tokenizer vocab before inference (app.py:3676-3686);
+    # no-op for the deterministic detector
+    extend_vocab: bool = False
     # linking candidate scorer: "tfidf" (reference primary path),
     # "semantic_exact" (L4 embedding cosine, O(N²) — small vocab), or
     # "semantic_lsh" (L4 banded-LSH blocked — the scale path)
@@ -117,7 +121,23 @@ def run_pipeline(
     paths = StageAPaths(output_dir)
     run_id = uuid.uuid4().hex[:12]
 
+    import time as _time
+
+    _timing = bool(os.environ.get("SPARK_GRAFT_STAGE_TIMING"))
+    _t0 = _time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        if _timing:
+            print(f"STAGE-TIMING {name} {_time.time() - _t0:.1f}s", flush=True)
+        _t0 = _time.time()
+
     # ---------------- Stage A: bucketed, checkpointed extraction ----------
+    added_tokens = None
+    if config.extend_vocab and config.detector.startswith("neural"):
+        from .operators.neural import harvest_abbreviation_tokens
+
+        added_tokens = harvest_abbreviation_tokens(transcripts)
     bucketed = ordered_transcripts(transcripts).withColumn(
         "bucket",
         F.pmod(F.xxhash64(F.col("conv_id")), F.lit(config.n_buckets)).cast("int"),
@@ -136,6 +156,7 @@ def run_pipeline(
             user_entities=config.user_entities,
             reference_strict=config.reference_strict,
             detector=config.detector,
+            added_tokens=added_tokens,
         )
         lineage_rows = commit_buckets_batch(
             spark,
@@ -161,6 +182,7 @@ def run_pipeline(
                     user_entities=config.user_entities,
                     reference_strict=config.reference_strict,
                     detector=config.detector,
+                    added_tokens=added_tokens,
                 )
                 lineage_rows.append(
                     commit_bucket(spark, paths, bucket, extracted, run_id)
@@ -168,6 +190,7 @@ def run_pipeline(
         finally:
             bucketed.unpersist()
 
+    _mark("stage_a")
     mentions_raw, abbrevs = read_stage_a(spark, paths)
 
     # ---------------- Stage B: linking ------------------------------------
@@ -178,6 +201,8 @@ def run_pipeline(
         candidate_max_df=config.candidate_max_df,
         score_source=config.score_source,
     )
+
+    _mark("stage_b_linking")
 
     # ---------------- Stage C: components + canonical pick ----------------
     node_universe = (
@@ -194,6 +219,16 @@ def run_pipeline(
         user_canonical=config.user_canonical,
         merge_map=config.merge_map,
     )
+    # Materialize the applied-mentions frame ONCE: the entities write and
+    # every triple branch (has_value window join, mention facts, unmatched
+    # props) would otherwise each re-scan Stage A and re-explode 13M rows
+    # - measured as the dominant non-extraction cost (triples write 30.6s
+    # -> the plan executed the explode+broadcast-join prefix 3-4x).
+    # localCheckpoint spills MEMORY_AND_DISK and is released by the
+    # ContextCleaner when the frame goes out of scope.
+    mentions = mentions.localCheckpoint(eager=True)
+
+    _mark("stage_c_components")
 
     # ---------------- Stage D: triples ------------------------------------
     has_value = build_triples(mentions)
@@ -222,10 +257,14 @@ def run_pipeline(
         "canonical",
         "canonical_display",
     )
-    write_table(
-        entities.repartition(F.col("conv_id")),
-        os.path.join(output_dir, "entities_canonical"),
-    )
+    _mark("stage_e_entities_plan")
+    # No repartition: the frame is narrow over the Stage-A scan (canonical
+    # joins are broadcast) and 32 MiB scan splits (session.py) already give
+    # the parquet encode its parallelism — an exchange here would re-shuffle
+    # 13M rows purely to regroup, the exact bandwidth burn the N-vs-4N
+    # efficiency metric flags on this box (BENCH.md).
+    write_table(entities, os.path.join(output_dir, "entities_canonical"))
+    _mark("stage_e_entities_write")
     # pipeline-level metrics (the lineage table holds per-bucket Stage-A
     # rows; this table holds the downstream-stage counters the reference
     # surfaced as run stats, app.py:3523-3601). Per-pred counts ride the
@@ -243,15 +282,19 @@ def run_pipeline(
             for p in ("has_value", "mentions", "same_as")
         ],
     )
-    # repartition on (pred, conv_id): partitionBy(pred) still writes clean
-    # per-pred directories, but the write parallelizes across all tasks —
-    # repartitioning on pred alone would funnel everything through 3 tasks
-    # (one per predicate), a data-proportional serial choke
+    # partitionBy(pred) with NO pre-repartition: every task writes at most
+    # one file per predicate, so the write parallelizes across the union
+    # branches' existing partitions (window shuffles + fine scan splits)
+    # without another 13M-row exchange. (History: repartition on pred
+    # alone was a 3-task serial choke; (pred, conv_id) fixed parallelism
+    # but kept a bandwidth-bound shuffle; fine scan splits make both
+    # unnecessary.)
     write_table(
-        triples_observed.repartition(F.col("pred"), F.col("conv_id")),
+        triples_observed,
         os.path.join(output_dir, "triples"),
         partition_by=["pred"],
     )
+    _mark("stage_e_triples_write")
     try:
         pred_counts = obs.get
     except Exception:
@@ -296,6 +339,7 @@ def run_pipeline(
         alias_groups(canonical_map), os.path.join(output_dir, "alias_groups")
     )
 
+    _mark("stage_e_metrics_small_tables")
     # read back with explicit schemas: empty tables have no part files to
     # infer from
     entities_rb = spark.read.schema(entities.schema).parquet(

@@ -43,6 +43,17 @@ def get_spark(
         # Dimension tables here (alias dicts, canonical maps) are small;
         # 64 MiB keeps them broadcast even at large corpus vocabularies.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 32 MiB scan splits: Stage-A extraction files are ~100-200 MB
+        # each, and downstream per-row work (struct explode, parquet
+        # encode) must parallelize across cores WITHOUT paying a 13M-row
+        # re-shuffle — finer splits give the write stages their
+        # parallelism for free (BENCH.md round-2 notes).
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # zstd for shuffle/spill blocks: this box (and any network-rich
+        # cluster) is bandwidth-bound on wide stages while CPU scales —
+        # trading compression CPU for shuffle bytes raises the N-vs-4N
+        # scaling efficiency (BENCH.md).
+        .config("spark.io.compression.codec", "zstd")
         # Deterministic timestamps across JVM/Python.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

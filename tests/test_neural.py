@@ -113,6 +113,70 @@ def test_pipeline_neural_stub_end_to_end(spark, tmp_path):
     assert triple_set(neu)
 
 
+def test_vocab_extension_bookkeeping():
+    """X8 (app.py:3676-3686): case-insensitive vocab check, idempotent
+    re-application, _ner_added_tokens tracking."""
+    from named_entity_algorithm_project_spark.operators.neural import (
+        ensure_vocab_extension,
+    )
+
+    model = StubTokenClassifier()
+    model.add_tokens(["pce"])  # lowercase form already in base vocab
+    added = ensure_vocab_extension(model, ["PCE", "OFET", "BHJ", ""])
+    assert added == 2  # PCE skipped (pce in vocab), empty skipped
+    assert model._ner_added_tokens == ["BHJ", "OFET"]
+    # idempotent: nothing new on replay, tracking unchanged
+    assert ensure_vocab_extension(model, ["OFET", "BHJ"]) == 0
+    assert model._ner_added_tokens == ["BHJ", "OFET"]
+    # incremental extension merges into the tracked set
+    assert ensure_vocab_extension(model, ["DSSC"]) == 1
+    assert model._ner_added_tokens == ["BHJ", "DSSC", "OFET"]
+
+
+def test_harvest_abbreviation_tokens(spark):
+    """Corpus-global abbreviation harvest: one Arrow UDF over the turns
+    that contain a parenthesis, exploded + distinct."""
+    from named_entity_algorithm_project_spark.operators.neural import (
+        harvest_abbreviation_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "We used power conversion efficiency (PCE) here."),
+            ("c1", 1, "The organic field-effect transistor (OFET) worked."),
+            ("c2", 0, "power conversion efficiency (PCE) again"),
+            ("c2", 1, "no abbreviations in this turn"),
+            ("c2", 2, None),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    assert harvest_abbreviation_tokens(df) == ["OFET", "PCE"]
+
+
+def test_pipeline_extend_vocab_runs(spark, tmp_path):
+    from named_entity_algorithm_project_spark.datagen import (
+        TRANSCRIPTS_SCHEMA,
+        generate_rows,
+    )
+    from named_entity_algorithm_project_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    rows = generate_rows(n_convs=10, seed=41)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    res = run_pipeline(
+        spark,
+        df,
+        str(tmp_path / "x8"),
+        config=PipelineConfig(
+            n_buckets=2, detector="neural:stub", extend_vocab=True
+        ),
+        resume=False,
+    )
+    assert res.triples.count() > 0
+
+
 def test_hf_model_unavailable_raises_clear_error():
     with pytest.raises(ImportError, match="neural:stub"):
         get_model("dslim/bert-base-NER")
