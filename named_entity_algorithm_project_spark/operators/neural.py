@@ -52,38 +52,204 @@ OVERLAP = 50
 _MODEL_CACHE: Dict[str, object] = {}
 
 
+_WORD_RE = re.compile(r"\S+")
+
+
 def chunk_text(
-    text: str, max_tokens: int = MAX_TOKENS, overlap: int = OVERLAP
+    text: str,
+    max_tokens: int = MAX_TOKENS,
+    overlap: int = OVERLAP,
+    tokenizer=None,
 ) -> List[Tuple[int, str]]:
-    """[(start_char, chunk_text)] — the reference's whitespace-word chunking
-    branch (chunk_text fallback, app.py:2867-2894: inner_max = max_tokens-2
-    words per chunk, `overlap` words of overlap, start_char recovered by
-    searching forward from the previous chunk's end). The HF-tokenizer
-    branch (app.py:2896-2943) applies when a real tokenizer is plugged in;
-    the word branch is what runs model-free and is tokenizer-compatible in
-    shape (a word never has fewer tokens than itself)."""
+    """[(start_char, chunk_text)] — the reference's chunk_text
+    (app.py:2854-2943), both branches:
+
+    * tokenizer branch (app.py:2896-2943) when a tokenizer is supplied and
+      tokenizes the text: chunk by TOKEN budget (inner_max = max_tokens-2
+      tokens) with `overlap` tokens of overlap, char offsets from the
+      tokenizer's offset mapping, and the reference's re-encode length
+      check (shrink the chunk until
+      ``len(tokenizer(chunk, add_special_tokens=True).input_ids) <=
+      max_tokens``). This is the branch that keeps real-model chunks
+      within the 512-token window — the word branch over-fills it because
+      a word averages >1 subword token.
+    * word fallback (app.py:2867-2894) otherwise: inner_max words per
+      chunk, `overlap` words of overlap.
+
+    Deviation from the reference, both branches: every chunk is an EXACT
+    SLICE of the original text (word boundaries via regex; token
+    boundaries via the offset mapping) instead of ``' '.join(words)`` /
+    ``convert_tokens_to_string`` re-synthesis. The re-synthesized string
+    can differ from the original in whitespace, so the reference's
+    ``text.find``-based start recovery (a) matches the EARLIEST duplicate
+    occurrence on repetitive text and (b) never matches at all on
+    non-single-space separators — both corrupt the span offset remap.
+    Exact slices make ``text[start:start+len(chunk)] == chunk`` hold by
+    construction for any whitespace."""
     if not text:
         return [(0, "")]
     overlap = max(0, min(overlap, max_tokens // 4))
     inner_max = max_tokens - 2  # reserve for CLS/SEP
-    words = text.split()
-    if len(words) <= inner_max:
+
+    if tokenizer is not None:
+        try:
+            tokens = tokenizer.tokenize(text)
+        except Exception:
+            tokens = None
+        if tokens is not None:
+            if len(tokens) <= inner_max:
+                return [(0, text)]
+            enc = tokenizer(
+                text, return_offsets_mapping=True, add_special_tokens=False
+            )
+            offsets = list(enc.get("offset_mapping") or [])
+            if len(offsets) == len(tokens):
+                return _chunk_by_tokens(
+                    text, tokenizer, offsets, max_tokens, inner_max, overlap
+                )
+            # offset mapping unavailable/inconsistent -> word fallback
+
+    word_spans = [m.span() for m in _WORD_RE.finditer(text)]
+    if len(word_spans) <= inner_max:
         return [(0, text)]
     chunks: List[Tuple[int, str]] = []
     start_idx = 0
-    search_start = 0
-    while start_idx < len(words):
-        end_idx = min(len(words), start_idx + inner_max)
-        chunk_str = " ".join(words[start_idx:end_idx])
-        start_char = text.find(chunk_str, search_start)
-        if start_char < 0:
-            start_char = sum(len(w) + 1 for w in words[:start_idx])
-        chunks.append((start_char, chunk_str))
-        if end_idx == len(words):
+    while start_idx < len(word_spans):
+        end_idx = min(len(word_spans), start_idx + inner_max)
+        start_char = word_spans[start_idx][0]
+        end_char = word_spans[end_idx - 1][1]
+        chunks.append((start_char, text[start_char:end_char]))
+        if end_idx == len(word_spans):
             break
-        search_start = start_char + 1
         start_idx = max(end_idx - overlap, start_idx + 1)
     return chunks
+
+
+def _chunk_by_tokens(
+    text: str,
+    tokenizer,
+    offsets: List[Tuple[int, int]],
+    max_tokens: int,
+    inner_max: int,
+    overlap: int,
+) -> List[Tuple[int, str]]:
+    """Token-budget-true chunking (app.py:2905-2941): walk the token list
+    in inner_max windows with `overlap` tokens of overlap; each chunk is
+    the original-text slice covering its tokens' offset span; re-encode
+    each candidate chunk WITH special tokens and shrink the window until
+    it fits max_tokens (slicing at a token boundary can retokenize
+    differently once the neighbouring context is gone, so the check is
+    load-bearing, not paranoia — app.py:2915-2928).
+
+    Deviation from the reference: chunk boundaries SNAP to word
+    boundaries when one exists inside the window (the reference cuts at
+    raw subword boundaries, so a chunk can begin/end mid-word — the
+    severed fragment then scans as a spurious entity or loses a real
+    one). Snapping shrinks end_tok back to the last token that closes a
+    word and advances the next start_tok to the first token that opens
+    one, so every word lives whole in at least one chunk; mid-word cuts
+    survive only when a single word alone exceeds the window."""
+    chunks: List[Tuple[int, str]] = []
+    total = len(offsets)
+    n = len(text)
+
+    def _closes_word(char_e: int) -> bool:
+        return char_e >= n or text[char_e].isspace()
+
+    def _opens_word(char_s: int) -> bool:
+        return (
+            char_s == 0
+            or text[char_s - 1].isspace()
+            or (char_s < n and text[char_s].isspace())
+        )
+
+    start_tok = 0
+    while start_tok < total:
+        end_tok = min(total, start_tok + inner_max)
+        while end_tok - start_tok > 1 and not _closes_word(offsets[end_tok - 1][1]):
+            end_tok -= 1
+        while True:
+            start_char = offsets[start_tok][0]
+            end_char = offsets[end_tok - 1][1]
+            chunk_str = text[start_char:end_char]
+            adjusted = tokenizer(chunk_str, add_special_tokens=True)["input_ids"]
+            if len(adjusted) <= max_tokens:
+                break
+            if end_tok - start_tok <= 1:  # single oversized token: emit as-is
+                break
+            end_tok -= 1
+            while end_tok - start_tok > 1 and not _closes_word(
+                offsets[end_tok - 1][1]
+            ):
+                end_tok -= 1
+        chunks.append((start_char, chunk_str))
+        if end_tok == total:
+            break
+        nxt = max(end_tok - overlap, start_tok + 1)
+        while nxt < end_tok and not _opens_word(offsets[nxt][0]):
+            nxt += 1
+        start_tok = nxt
+    return chunks
+
+
+class StubWordPieceTokenizer:
+    """Deterministic WordPiece-like tokenizer exercising the token-budget
+    chunking branch in-sandbox: every word splits into pieces of at most
+    ``piece_len`` characters (continuation pieces prefixed ``##``), so a
+    510-word text can far exceed 510 tokens — exactly the real-model
+    condition the word fallback over-fills. Implements the HF tokenizer
+    surface chunk_text and X8 use: ``tokenize``, callable with
+    ``return_offsets_mapping`` / ``add_special_tokens``, ``get_vocab``,
+    ``add_tokens``, ``convert_tokens_to_string``, ``__len__``."""
+
+    def __init__(self, piece_len: int = 4):
+        self.piece_len = max(1, piece_len)
+        self._vocab: Dict[str, int] = {}
+        self._ner_added_tokens: List[str] = []
+
+    def _pieces(self, text: str):
+        """Yield (token, start, end) over the text."""
+        for m in _WORD_RE.finditer(text):
+            ws, we = m.span()
+            for i, s in enumerate(range(ws, we, self.piece_len)):
+                e = min(we, s + self.piece_len)
+                tok = text[s:e]
+                yield (("##" + tok) if i else tok, s, e)
+
+    def tokenize(self, text: str) -> List[str]:
+        return [t for t, _, _ in self._pieces(text)]
+
+    def __call__(self, text: str, return_offsets_mapping: bool = False,
+                 add_special_tokens: bool = False) -> dict:
+        pieces = list(self._pieces(text))
+        n = len(pieces) + (2 if add_special_tokens else 0)
+        out = {"input_ids": list(range(n))}
+        if return_offsets_mapping:
+            out["offset_mapping"] = [(s, e) for _, s, e in pieces]
+        return out
+
+    def convert_tokens_to_string(self, tokens: List[str]) -> str:
+        words: List[str] = []
+        for t in tokens:
+            if t.startswith("##") and words:
+                words[-1] += t[2:]
+            else:
+                words.append(t[2:] if t.startswith("##") else t)
+        return " ".join(words)
+
+    def __len__(self) -> int:
+        return len(self._vocab)
+
+    def get_vocab(self) -> dict:
+        return dict(self._vocab)
+
+    def add_tokens(self, tokens: List[str]) -> int:
+        added = 0
+        for t in tokens:
+            if t not in self._vocab:
+                self._vocab[t] = len(self._vocab)
+                added += 1
+        return added
 
 
 class StubTokenClassifier:
@@ -96,9 +262,13 @@ class StubTokenClassifier:
     HF pipeline, and mirrors the tokenizer vocab-extension surface
     (get_vocab/add_tokens) so X8 exercises real bookkeeping."""
 
-    def __init__(self):
+    def __init__(self, tokenizer=None):
         self._vocab: dict = {}
         self._ner_added_tokens: List[str] = []
+        # optional tokenizer: None -> chunk_text's word fallback (the
+        # model-free default); StubWordPieceTokenizer -> the token-budget
+        # branch, the same wiring a real HF pipeline gets
+        self.tokenizer = tokenizer
 
     def get_vocab(self) -> dict:
         return dict(self._vocab)
@@ -149,12 +319,26 @@ class _HFBatchedPipeline:
             aggregation_strategy="simple",
         )
 
-    def __call__(self, texts: List[str]) -> List[List[dict]]:  # pragma: no cover
+    @property
+    def tokenizer(self):  # chunk_text's token-budget branch rides this
+        return self._pipe.tokenizer
+
+    def __call__(self, texts: List[str]) -> List[List[dict]]:
         if not texts:
             return []
         preds = self._pipe(list(texts), batch_size=32)
-        if texts and isinstance(preds, list) and preds and isinstance(preds[0], dict):
-            preds = [preds]  # single-text call returns a flat list
+        if len(texts) == 1 and (not preds or isinstance(preds[0], dict)):
+            # older HF versions return a FLAT prediction list for a
+            # single-text call ([] when no entities) — wrap to one batch
+            preds = [preds]
+        if not isinstance(preds, list) or len(preds) != len(texts):
+            # a silent mismatch would desync the chunk->prediction zip
+            # downstream (spans quietly attach to the wrong turn)
+            raise ValueError(
+                f"token-classification pipeline returned "
+                f"{len(preds) if isinstance(preds, list) else type(preds)} "
+                f"prediction lists for {len(texts)} texts"
+            )
         return [
             [
                 {
@@ -176,6 +360,12 @@ def get_model(model_name: str):
     if model_name not in _MODEL_CACHE:
         if model_name == "stub":
             _MODEL_CACHE[model_name] = StubTokenClassifier()
+        elif model_name == "stub:wordpiece":
+            # stub spans + WordPiece-like tokenizer: exercises the
+            # token-budget chunking branch without torch/transformers
+            _MODEL_CACHE[model_name] = StubTokenClassifier(
+                tokenizer=StubWordPieceTokenizer()
+            )
         else:
             _MODEL_CACHE[model_name] = _HFBatchedPipeline(model_name)
     return _MODEL_CACHE[model_name]
@@ -194,6 +384,10 @@ def ensure_vocab_extension(model, tokens) -> int:
     if pipe is not None:  # HF adapter: extend the real tokenizer/model
         tok_owner = pipe.tokenizer
         resize_target = pipe.model
+    else:
+        tok = getattr(model, "tokenizer", None)
+        if tok is not None and hasattr(tok, "add_tokens"):
+            tok_owner = tok  # stub:wordpiece — extend the tokenizer itself
     vocab = set()
     if hasattr(tok_owner, "get_vocab"):
         vocab = set(tok_owner.get_vocab().keys())
@@ -212,7 +406,9 @@ def ensure_vocab_extension(model, tokens) -> int:
     return num_added
 
 
-def harvest_abbreviation_tokens(transcripts, text_col: str = "text") -> List[str]:
+def harvest_abbreviation_tokens(
+    transcripts, text_col: str = "text", max_tokens: int = 100_000
+) -> List[str]:
     """Corpus-global abbreviation harvest feeding X8 (the reference
     pre-scans prepared_records for abbreviation_tokens, app.py:3676-3681).
 
@@ -237,25 +433,71 @@ def harvest_abbreviation_tokens(transcripts, text_col: str = "text") -> List[str
         transcripts.filter(F.col(text_col).contains("("))
         .select(F.explode(_abbrs(F.col(text_col))).alias("tok"))
         .distinct()
+        .sort("tok")  # TakeOrdered with the limit: deterministic prefix
+        .limit(max_tokens + 1)
         .collect()
     )
-    return sorted(r["tok"] for r in rows)
+    toks = [r["tok"] for r in rows]
+    if len(toks) > max_tokens:
+        # pathological corpus: the "vocabulary-scale" assumption broke.
+        # Truncate to the lexicographic first max_tokens (deterministic)
+        # rather than shipping an unbounded closure to every worker.
+        import warnings
+
+        warnings.warn(
+            f"abbreviation harvest exceeded max_tokens={max_tokens}; "
+            "truncating to the lexicographic prefix",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        toks = toks[:max_tokens]
+    return toks
 
 
 def spans_from_predictions(
-    work_text: str, chunk_preds: List[Tuple[int, List[dict]]]
+    work_text: str,
+    chunks: List[Tuple[int, str]],
+    preds_per_chunk: List[List[dict]],
 ) -> List[Tuple[int, int, str, str, float]]:
     """Remap per-chunk predictions to document offsets with cross-chunk
     (start, end, word) dedup (app.py:3738-3755); sorted like _scan_spans so
-    the shared per-type first-only dedup downstream is deterministic."""
+    the shared per-type first-only dedup downstream is deterministic.
+
+    Beyond the reference's dedup: EDGE-TOUCHING SPAN SUPPRESSION. A span
+    that abuts the cut edge of a chunk (starts at offset 0 of a chunk
+    whose predecessor overlaps it, or ends at the last char of a chunk
+    whose successor overlaps it) is a truncation artifact — the entity
+    phrase was severed by the window, so the model saw "…power conversion"
+    or "efficiency of…" and mis-scanned the fragment. The overlap
+    guarantees the NEIGHBOR chunk contains the same region away from its
+    own edges, so the whole phrase is still found; dropping the edge
+    fragment removes the artifact without losing recall (verified:
+    restores exact span parity with unchunked extraction end-to-end).
+    Suppression only applies across genuinely overlapping boundaries —
+    overlap=0 chunking keeps every span."""
     seen = set()
     spans: List[Tuple[int, int, str, str, float]] = []
-    for chunk_start, preds in chunk_preds:
+    n_chunks = len(chunks)
+    for i, ((chunk_start, chunk_str), preds) in enumerate(
+        zip(chunks, preds_per_chunk)
+    ):
+        prev_overlaps = (
+            i > 0 and chunks[i - 1][0] + len(chunks[i - 1][1]) > chunk_start
+        )
+        next_overlaps = (
+            i < n_chunks - 1 and chunks[i + 1][0] < chunk_start + len(chunk_str)
+        )
         for p in preds:
-            s = chunk_start + int(p.get("start", 0))
-            e = chunk_start + int(p.get("end", 0))
-            if s >= e:
+            rel_s = int(p.get("start", 0))
+            rel_e = int(p.get("end", 0))
+            if rel_s >= rel_e:
                 continue
+            if prev_overlaps and rel_s == 0:
+                continue
+            if next_overlaps and rel_e >= len(chunk_str):
+                continue
+            s = chunk_start + rel_s
+            e = chunk_start + rel_e
             word = work_text[s:e]
             key = (s, e, word.lower())
             if key in seen:
@@ -269,14 +511,15 @@ def spans_from_predictions(
 
 
 def neural_span_fn(model) -> "callable":
-    """work_text -> spans, via chunk -> ONE batched inference -> remap."""
+    """work_text -> spans, via chunk -> ONE batched inference -> remap.
+    Chunking uses the model's tokenizer when it has one (token-budget
+    branch), else the word fallback."""
+    tokenizer = getattr(model, "tokenizer", None)
 
     def _fn(work_text: str):
-        chunks = chunk_text(work_text)
+        chunks = chunk_text(work_text, tokenizer=tokenizer)
         preds = model([c for _, c in chunks])
-        return spans_from_predictions(
-            work_text, list(zip([s for s, _ in chunks], preds))
-        )
+        return spans_from_predictions(work_text, chunks, preds)
 
     return _fn
 
@@ -304,6 +547,7 @@ def neural_extraction_udf(
         model = get_model(model_name)
         if added_tokens:
             ensure_vocab_extension(model, added_tokens)
+        tokenizer = getattr(model, "tokenizer", None)
         patterns = compile_user_patterns(user_entities) if user_entities else None
         # Phase 1 — ONE inference call for the whole Arrow batch: chunk
         # every turn, flatten, infer, regroup. (preprocess_text runs again
@@ -312,13 +556,15 @@ def neural_extraction_udf(
             preprocess_text(str(t))[0] if t is not None and str(t).strip() else ""
             for t in texts
         ]
-        all_chunks = [chunk_text(w) if w else [] for w in work_texts]
+        all_chunks = [
+            chunk_text(w, tokenizer=tokenizer) if w else [] for w in work_texts
+        ]
         flat = [c for chunks in all_chunks for _, c in chunks]
         flat_preds = model(flat) if flat else []
         pred_iter = iter(flat_preds)
         spans_per_text = [
             spans_from_predictions(
-                w, [(start, next(pred_iter)) for start, _ in chunks]
+                w, chunks, [next(pred_iter) for _ in chunks]
             )
             for w, chunks in zip(work_texts, all_chunks)
         ]
