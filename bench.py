@@ -45,6 +45,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("KG_BENCH_CONVS", "30000"))
+    # >1 widens the entity vocabulary with alias/abbreviation variants so
+    # the linking stage works at realistic unique-norm counts (default 1
+    # keeps rows identical to prior rounds for comparability)
+    vocab_scale = int(os.environ.get("KG_BENCH_VOCAB_SCALE", "1"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = get_spark(
@@ -65,7 +69,9 @@ def main() -> None:
     # --- full KG pipeline on synthetic transcripts -------------------------
     out_dir = tempfile.mkdtemp(prefix="kg_bench_")
     try:
-        transcripts = generate_transcripts(spark, n_convs=n_convs, seed=42).persist()
+        transcripts = generate_transcripts(
+            spark, n_convs=n_convs, seed=42, vocab_scale=vocab_scale
+        ).persist()
         n_turns_pre = transcripts.count()  # generation outside the timed window
         t0 = time.time()
         result = run_pipeline(

@@ -62,8 +62,44 @@ _FILLER = (
 _ROLES = ["user", "assistant", "tool"]
 _TOOLS = ["search", "calculator", "plotter", None]
 
+# --- vocabulary scaling (linking-stage stressor) ---------------------------
+# vocab_scale=1 (the default, and what every pinned oracle/query fixture
+# uses) draws from the base pools above and produces BIT-IDENTICAL rows to
+# the original generator. vocab_scale>1 widens the pools with synthetic
+# alias families — each synthetic material exists in a dash form and a
+# fused form ("pm6-v0001" / "pm6v0001": distinct norms, heavy char-n-gram
+# overlap, exactly the surface variation the TF-IDF linking join must
+# candidate-pair) — plus synthetic abbreviation definitions, so a large
+# corpus carries the >50k unique linkable norms that engage the AUTO
+# df-cap (build_linking_tables) instead of recycling a toy vocabulary.
 
-def _make_turn_text(rng: random.Random) -> str:
+_POOL_CACHE: dict = {}
+
+
+def _pools(vocab_scale: int):
+    """(materials, alias_families, abbrev_seeds) for a scale level."""
+    if vocab_scale <= 1:
+        return _MATERIALS, _ALIAS_FAMILIES, _ABBREV_SEEDS
+    cached = _POOL_CACHE.get(vocab_scale)
+    if cached is not None:
+        return cached
+    materials = list(_MATERIALS)
+    stems = [m.lower().replace(":", "").replace("-", "") for m in _MATERIALS]
+    for i in range(len(_MATERIALS) * (vocab_scale - 1)):
+        stem = stems[i % len(stems)]
+        materials.append(f"{stem}-v{i:05d}")
+        materials.append(f"{stem}v{i:05d}")
+    n_abbr = min(5000, 4 * (vocab_scale - 1))
+    abbrevs = list(_ABBREV_SEEDS) + [
+        (f"transport factor {i}", f"TF{i}") for i in range(n_abbr)
+    ]
+    out = (materials, _ALIAS_FAMILIES, abbrevs)
+    _POOL_CACHE[vocab_scale] = out
+    return out
+
+
+def _make_turn_text(rng: random.Random, vocab_scale: int = 1) -> str:
+    materials, alias_families, abbrev_seeds = _pools(vocab_scale)
     parts: List[str] = []
     n_sentences = rng.randint(1, 3)
     for _ in range(n_sentences):
@@ -71,23 +107,23 @@ def _make_turn_text(rng: random.Random) -> str:
         if kind < 0.25:
             prop = rng.choice(_PROPERTIES)
             value = f"{rng.randint(1, 999) / 10.0:g} {rng.choice(_UNITS)}"
-            mat = rng.choice(_MATERIALS)
+            mat = rng.choice(materials)
             parts.append(
                 f"The {prop} of {mat} reached {value} in this experiment."
             )
         elif kind < 0.40:
-            expansion, abbr = rng.choice(_ABBREV_SEEDS)
+            expansion, abbr = rng.choice(abbrev_seeds)
             parts.append(
                 f"We evaluated the {expansion} ({abbr}) across samples."
             )
         elif kind < 0.60:
-            family = rng.choice(_ALIAS_FAMILIES)
+            family = rng.choice(alias_families)
             variant = rng.choice(family)
             parts.append(
                 f"Results for the {variant} platform were reproducible."
             )
         elif kind < 0.75:
-            mat = rng.choice(_MATERIALS)
+            mat = rng.choice(materials)
             prop = rng.choice(_PROPERTIES)
             parts.append(f"{mat} exhibits notable {prop} under bias.")
         else:
@@ -101,6 +137,7 @@ def conv_rows(
     seed: int = 42,
     empty_turn_rate: float = 0.05,
     long_turn_rate: float = 0.01,
+    vocab_scale: int = 1,
 ) -> List[Tuple[str, int, str, str, str, dt.datetime]]:
     """Rows for ONE conversation, seeded per (seed, conv_idx) — the same
     function runs driver-side (tests/oracle) and executor-side (scaled
@@ -121,9 +158,11 @@ def conv_rows(
         if u < empty_turn_rate:
             text = ""
         elif u < empty_turn_rate + long_turn_rate:
-            text = " ".join(_make_turn_text(rng) for _ in range(40))
+            text = " ".join(
+                _make_turn_text(rng, vocab_scale) for _ in range(40)
+            )
         else:
-            text = _make_turn_text(rng)
+            text = _make_turn_text(rng, vocab_scale)
         ts = ts + dt.timedelta(seconds=rng.randint(5, 120))
         rows.append((conv_id, t, role, text, tool, ts))
     return rows
@@ -132,10 +171,11 @@ def conv_rows(
 def generate_rows(
     n_convs: int = 100,
     seed: int = 42,
+    vocab_scale: int = 1,
 ) -> List[Tuple[str, int, str, str, str, dt.datetime]]:
     rows = []
     for c in range(n_convs):
-        rows.extend(conv_rows(c, seed))
+        rows.extend(conv_rows(c, seed, vocab_scale=vocab_scale))
     return rows
 
 
@@ -144,6 +184,7 @@ def generate_transcripts(
     n_convs: int = 100,
     seed: int = 42,
     n_partitions: int = None,
+    vocab_scale: int = 1,
 ) -> DataFrame:
     """Executor-side generation: spark.range over conversation indices,
     mapInPandas expands each index into its turns. Scales to millions of
@@ -159,7 +200,9 @@ def generate_transcripts(
         for pdf in batches:
             out = []
             for conv_idx in pdf["id"]:
-                out.extend(conv_rows(int(conv_idx), seed))
+                out.extend(
+                    conv_rows(int(conv_idx), seed, vocab_scale=vocab_scale)
+                )
             yield pd.DataFrame(
                 out,
                 columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],

@@ -50,6 +50,44 @@ LINEAGE_FILE_SCHEMA = T.StructType(
 )
 
 
+# --- Hadoop FileSystem helpers -------------------------------------------
+# The commit/replay protocol (lineage markers, empty-bucket dirs) must hold
+# on HDFS/S3 paths, not just the driver-local disk — os.path/os.listdir
+# silently see nothing there (markers never detected -> batches re-run;
+# empty bucket dirs never created). All marker-protocol filesystem access
+# goes through the JVM Hadoop FileSystem resolved from the path's scheme
+# (local paths resolve to the local FS, so behavior is unchanged in tests).
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def list_child_names(spark: SparkSession, path_str: str) -> List[str]:
+    """Child entry names of a directory ([] when absent or a file)."""
+    fs, path = _hadoop_fs(spark, path_str)
+    if not fs.exists(path) or not fs.getFileStatus(path).isDirectory():
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(path)]
+
+
+def dir_has_parquet(spark: SparkSession, path_str: str) -> bool:
+    """True when the directory exists and holds at least one parquet file
+    — the marker-commit predicate shared by batch resume and streaming
+    replay."""
+    return any(
+        n.endswith(".parquet") for n in list_child_names(spark, path_str)
+    )
+
+
+def ensure_dir(spark: SparkSession, path_str: str) -> None:
+    fs, path = _hadoop_fs(spark, path_str)
+    fs.mkdirs(path)
+
+
 @dataclass
 class StageAPaths:
     root: str
@@ -71,13 +109,11 @@ class StageAPaths:
 
 def committed_buckets(spark: SparkSession, paths: StageAPaths) -> List[int]:
     """Buckets whose lineage marker exists — the only source of truth."""
-    if not os.path.isdir(paths.lineage):
-        return []
     out = []
-    for name in sorted(os.listdir(paths.lineage)):
+    for name in sorted(list_child_names(spark, paths.lineage)):
         if name.startswith("bucket="):
             full = os.path.join(paths.lineage, name)
-            if any(f.endswith(".parquet") for f in os.listdir(full)):
+            if dir_has_parquet(spark, full):
                 out.append(int(name.split("=", 1)[1]))
     return sorted(out)
 
@@ -174,10 +210,10 @@ def commit_buckets_batch(
     written = []
     for b in buckets:
         d = paths.extraction_bucket(b)
-        if os.path.isdir(d):
+        if list_child_names(spark, d):
             written.append(d)
         else:
-            os.makedirs(d, exist_ok=True)
+            ensure_dir(spark, d)
     stats = {}
     if written:
         stats_src = spark.read.option("basePath", paths.extraction).parquet(

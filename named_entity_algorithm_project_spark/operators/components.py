@@ -38,6 +38,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
     local_threshold: int = 200_000,
+    local_edge_threshold: int = 2_000_000,
     salt_partitions: int = 8,
     algorithm: str = "auto",
     hash_to_min_budget: int = 8,
@@ -53,6 +54,11 @@ def connected_components(
             judgement call as broadcasting the canonical map; the iterative
             path takes over beyond the cutoff and is what the 10^12-turn case
             runs). Pass 0 to force the distributed path (tests do).
+        local_edge_threshold: edge-count cutoff guarding the same driver
+            path — a ≤200k-node graph with a dense gated similarity edge
+            set (hub vocabulary, low thresholds) could still collect tens
+            of millions of edge rows; when EITHER bound trips, the
+            distributed path runs.
         algorithm: "auto" (hash-to-min, falling back to large/small-star
             after ``hash_to_min_budget`` non-converged rounds — O(diameter)
             for the common tiny-diameter alias graphs, O(log n) worst case),
@@ -70,7 +76,8 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
     if local_threshold > 0:
         n_nodes = nodes.limit(local_threshold + 1).count()
-        if n_nodes <= local_threshold:
+        n_edges = edges.limit(local_edge_threshold + 1).count()
+        if n_nodes <= local_threshold and n_edges <= local_edge_threshold:
             node_list = [r[0] for r in nodes.collect()]
             edge_list = [(r[0], r[1]) for r in edges.collect()]
             mapping = _local_components(node_list, edge_list)

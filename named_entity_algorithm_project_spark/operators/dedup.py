@@ -163,20 +163,38 @@ def lsh_candidate_pairs(
 
 
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, sum signed bit contributions,
-    sign -> fingerprint bit. Entirely JVM-side (explode + bit ops + groupBy)."""
+    """SimHash: per-token hash, sum signed bit contributions, sign ->
+    fingerprint bit. Entirely JVM-side (explode + bit ops + groupBy).
+
+    ``hash_family="xxhash64"`` (default) is the fast single-function path.
+    ``hash_family="md5"`` derives bit 4j+k from hex digit j of md5(token)
+    — like the minhash family, md5 hex is portable across engines, so a
+    DuckDB oracle can replicate the fingerprint digit-for-digit (bits<=64;
+    16 md5 hex digits cover it)."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(_tokens(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_family == "md5":
+        hx = F.md5("tok")
+        digits = [
+            F.conv(F.substring(hx, j + 1, 1), 16, 10).cast("int")
+            for j in range((bits + 3) // 4)
+        ]
+        bit = lambda i: F.shiftright(digits[i // 4], i % 4).bitwiseAND(F.lit(1))  # noqa: E731
+    else:
+        h = F.xxhash64("tok")
+        bit = lambda i: F.shiftright(h, i).bitwiseAND(F.lit(1))  # noqa: E731
     per_bit = toks.select(
         "doc",
         *[
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
+            F.when(bit(i) == 1, 1).otherwise(-1).alias(f"b{i}")
             for i in range(bits)
         ],
     )

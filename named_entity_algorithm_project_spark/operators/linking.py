@@ -69,6 +69,10 @@ class LinkingTables:
     edges: DataFrame  # src, dst (deduped, src < dst)
     extra_nodes: DataFrame  # norm-only nodes added by abbrev/alias edges
     base_threshold: float
+    # observability: unique linkable norms and the EFFECTIVE df cap the
+    # similarity join ran with (None = exact / non-tfidf scorer)
+    n_norms: int = 0
+    candidate_max_df: Optional[int] = None
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -200,7 +204,7 @@ def semantic_pairs_exact(
 def semantic_pairs_lsh(
     norms: DataFrame,
     dim: int = 64,
-    bands: int = 4,
+    bands: int = 8,
     band_bits: int = 4,
 ) -> DataFrame:
     """L4 scoring, scale form: banded random-hyperplane LSH blocks the
@@ -209,14 +213,22 @@ def semantic_pairs_lsh(
     then exact cosine re-ranks inside the blocks.
 
     Recall for a pair with cosine c: per-plane agreement p = 1 - acos(c)/π,
-    candidate prob = 1 - (1 - p^band_bits)^bands — ~0.99 at c=0.95 and
-    ~0.87 at c=0.80 with the 4x4 default; raise ``bands`` for more recall,
-    ``band_bits`` for tighter blocks. Every emitted score is exact, so this
-    is a strict subset of :func:`semantic_pairs_exact` (tested)."""
+    candidate prob = 1 - (1 - p^band_bits)^bands — ~1.0 at c=0.95 and
+    ~0.98 at c=0.80 with the 8x4 default (4x4 held only ~0.87 at the 0.80
+    gate threshold — borderline true merges silently dropped); raise
+    ``bands`` for more recall, ``band_bits`` for tighter blocks. Every
+    emitted score is exact, so this is a strict subset of
+    :func:`semantic_pairs_exact` (tested)."""
     from ..functions.embed import embedding_udf
     from .similarity import _signature_udf
 
     n_planes = bands * band_bits
+    if n_planes > 63:
+        # the signature packs one bit per plane into a single signed long
+        raise ValueError(
+            f"bands*band_bits={n_planes} exceeds the 63-bit signature; "
+            "raise band_bits (tighter blocks) instead of bands past this"
+        )
     mask = (1 << band_bits) - 1
     emb = norms.select(
         "norm", embedding_udf(dim)(F.col("norm")).alias("v")
@@ -361,6 +373,8 @@ def build_linking_tables(
     auto_block_df_abs: int = 4_000,
     score_source: str = "tfidf",
     embed_dim: int = 64,
+    embed_bands: int = 8,
+    embed_band_bits: int = 4,
 ) -> LinkingTables:
     """Assemble the full gated edge list for connected components.
 
@@ -368,7 +382,9 @@ def build_linking_tables(
     cascade: "tfidf" (default — the reference's primary path),
     "semantic_exact" (L4, embedding cosine over every pair — the reference's
     use_semantic path, app.py:3084-3110; O(N²), small vocabularies), or
-    "semantic_lsh" (L4 at scale: LSH-blocked candidates, exact re-rank).
+    "semantic_lsh" (L4 at scale: LSH-blocked candidates, exact re-rank;
+    ``embed_bands``/``embed_band_bits`` dial candidate recall — see
+    :func:`semantic_pairs_lsh`).
 
     ``candidate_max_df=None`` means AUTO: exact (no n-gram dropped) while the
     vocabulary is under ``auto_block_min_vocab`` unique norms, else capped at
@@ -464,7 +480,12 @@ def build_linking_tables(
     if score_source == "semantic_exact":
         scored = semantic_pairs_exact(profiles.select("norm"), dim=embed_dim)
     elif score_source == "semantic_lsh":
-        scored = semantic_pairs_lsh(profiles.select("norm"), dim=embed_dim)
+        scored = semantic_pairs_lsh(
+            profiles.select("norm"),
+            dim=embed_dim,
+            bands=embed_bands,
+            band_bits=embed_band_bits,
+        )
     else:
         weights = tfidf_weights(profiles.select("norm"), n_norms)
         tf_df_counts = (
@@ -503,6 +524,10 @@ def build_linking_tables(
         edges=edges.localCheckpoint(eager=True),
         extra_nodes=extra_nodes.localCheckpoint(eager=True),
         base_threshold=base,
+        n_norms=int(n_norms),
+        candidate_max_df=(
+            candidate_max_df if score_source == "tfidf" else None
+        ),
     )
     profiles.unpersist()
     abbr_gated.unpersist()

@@ -9,7 +9,12 @@ the decode step is STUBBED two ways:
 * ``decode_stub="deterministic"`` — a seeded fake decoder (payload bytes →
   stable pseudo-features) so the full plumbing is testable end-to-end;
 * ``decode_stub="raise"`` — ``NotImplementedError`` marking exactly where
-  PIL/torchaudio/ffmpeg plug in.
+  PIL/torchaudio/ffmpeg plug in;
+* ``decode_stub="wav"`` — a REAL codec for one media kind: ``kind=audio``
+  payloads are parsed as RIFF/WAVE with the stdlib ``wave`` module and
+  featurized from the actual PCM samples (per-window RMS); non-audio
+  kinds keep the deterministic fake. Proves the plug point carries a real
+  decoder end-to-end with zero extra dependencies.
 
 Everything around the stub is real: ``mapInPandas`` with Arrow-batched
 binary columns, fixed output schemas, per-batch (not per-row) iteration,
@@ -23,6 +28,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator, Literal
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -77,9 +83,54 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
+def decode_wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real audio decode + featurize, stdlib-only: parse the RIFF/WAVE
+    container with ``wave``, convert PCM to float64 full-scale [-1, 1)
+    (8/16/32-bit widths), and emit ``dim`` per-window RMS features over
+    the interleaved sample stream. This is the un-stubbed proof of the
+    codec plug point — an image/video codec lands in the same slot."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload or b""), "rb") as w:
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 2**15
+    elif width == 1:  # 8-bit WAV PCM is unsigned
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2**31
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    if samples.size == 0:
+        return [0.0] * dim
+    return [
+        float(np.sqrt(np.mean(np.square(win)))) if win.size else 0.0
+        for win in np.array_split(samples, dim)
+    ]
+
+
+def probe_wav_meta(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, duration_ms) from a WAV header —
+    metadata backfill for the ``meta`` struct."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload or b""), "rb") as w:
+        rate = w.getframerate()
+        return (
+            rate,
+            w.getnchannels(),
+            int(w.getnframes() * 1000 / rate) if rate else 0,
+        )
+
+
 def extract_media_features(
     media: DataFrame,
-    decode_stub: Literal["deterministic", "raise"] = "deterministic",
+    decode_stub: Literal["deterministic", "raise", "wav"] = "deterministic",
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """Decode + featurize media rows via ``mapInPandas``.
@@ -98,6 +149,13 @@ def extract_media_features(
                     "this container; plug the codec into _fake_decode's slot"
                 )
             payloads = pdf["payload"]
+            if decode_stub == "wav":
+                feats = [
+                    decode_wav_features(b) if k == "audio" else _fake_decode(b)
+                    for b, k in zip(payloads, pdf["kind"])
+                ]
+            else:
+                feats = [_fake_decode(b) for b in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -106,7 +164,7 @@ def extract_media_features(
                     "content_hash": payloads.map(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
-                    "features": payloads.map(_fake_decode),
+                    "features": pd.Series(feats, index=pdf.index),
                 }
             )
 

@@ -81,6 +81,12 @@ class PipelineConfig:
     # "semantic_exact" (L4 embedding cosine, O(N²) — small vocab), or
     # "semantic_lsh" (L4 banded-LSH blocked — the scale path)
     score_source: str = "tfidf"
+    # semantic_lsh recall dials (candidate prob at cosine c is
+    # 1-(1-p^band_bits)^bands with p = 1-acos(c)/pi): more bands = more
+    # recall & more candidates; more band_bits = tighter blocks. The 8x4
+    # default holds ~0.98 candidate recall at the 0.80 gate threshold.
+    embed_bands: int = 8
+    embed_band_bits: int = 4
 
 
 @dataclass
@@ -200,6 +206,8 @@ def run_pipeline(
         salt_partitions=config.salt_partitions,
         candidate_max_df=config.candidate_max_df,
         score_source=config.score_source,
+        embed_bands=config.embed_bands,
+        embed_band_bits=config.embed_band_bits,
     )
 
     _mark("stage_b_linking")

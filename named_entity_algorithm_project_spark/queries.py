@@ -1065,3 +1065,45 @@ def q30_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("name")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_SUMS_SQL = ", ".join(
+    f"SUM(CASE WHEN ((((strpos('0123456789abcdef', substr(md5(tok), "
+    f"{i // 4 + 1}, 1)) - 1) >> {i % 4}) & 1) = 1) THEN 1 ELSE -1 END) "
+    f"AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_PACK_SQL = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@_register(
+    "q33_simhash_portable",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+      )
+    ), sums AS (
+      SELECT doc, {_SIMHASH_SUMS_SQL} FROM toks GROUP BY doc
+    )
+    SELECT doc, CAST({_SIMHASH_PACK_SQL} AS BIGINT) AS simhash FROM sums
+    """,
+)
+def q33_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprinting with the md5 hash family (bit 4j+k = bit k
+    of md5 hex digit j), so the fingerprint is bit-for-bit reproducible in
+    any engine with md5 — the same portability trick as the q13 minhash
+    family. 16 bits keeps the oracle SQL tractable; the Spark operator
+    does 64 (operators/dedup.py simhash)."""
+    from .operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=_SIMHASH_BITS, hash_family="md5").select(
+        "doc", F.col("simhash").cast("long").alias("simhash")
+    )

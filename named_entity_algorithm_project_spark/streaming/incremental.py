@@ -45,12 +45,13 @@ def process_batch(
     """Idempotent per-batch commit (the foreachBatch body; exposed for
     direct replay testing). Returns False when the batch was already
     committed and skipped."""
+    from ..io_tables import dir_has_parquet
+
     t0 = time.time()
     marker_dir = os.path.join(lineage_path, f"batch_id={int(batch_id)}")
-    if os.path.isdir(marker_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(marker_dir)
-    ):
+    if dir_has_parquet(spark, marker_dir):
         # replayed batch that already committed — idempotent skip
+        # (Hadoop FS check, so the protocol holds on HDFS/S3 paths too)
         return False
     from pyspark.sql import Observation
 

@@ -150,3 +150,27 @@ def test_hub_star_graph_distributed(spark):
     ).collect()
     assert {r["component"] for r in got} == {"hub"}
     assert len(got) == 2001
+
+
+def test_edge_volume_guard_forces_distributed(spark):
+    """Few nodes, dense edges: the driver-local path gates on BOTH node
+    count and edge count — a dense gated similarity graph under the node
+    cutoff must still run distributed (and produce the DFS answer)."""
+    import itertools
+
+    nodes = [f"n{i}" for i in range(30)]
+    edges = list(itertools.combinations(nodes, 2))  # 435 edges, one clique
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "norm string")
+    edges_df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["norm"]: r["component"]
+        for r in connected_components(
+            nodes_df,
+            edges_df,
+            local_threshold=1000,  # node gate would take the driver path...
+            local_edge_threshold=100,  # ...but the edge gate trips
+        ).collect()
+    }
+    expected = _dfs_components(nodes, edges)
+    assert got == expected
+    assert set(got.values()) == {"n0"}

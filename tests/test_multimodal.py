@@ -59,3 +59,79 @@ def test_frame_sampling(media):
     # only the video row, duration 3500ms -> ts 0,1000,2000,3000
     assert {r["media_id"] for r in frames} == {3}
     assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
+
+
+def _make_wav(freq_hz=440.0, rate=8000, ms=250, amplitude=0.5, width=2):
+    """Synthesize a PCM WAV in memory with the stdlib wave module."""
+    import io
+    import math
+    import wave
+
+    n = int(rate * ms / 1000)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            x = amplitude * math.sin(2 * math.pi * freq_hz * i / rate)
+            if width == 2:
+                frames += int(x * 32767).to_bytes(2, "little", signed=True)
+            else:
+                frames += bytes([int(x * 127) + 128])
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_wav_codec_end_to_end(spark):
+    """One media kind runs UN-stubbed: real RIFF/WAVE parse + PCM RMS
+    features through the same mapInPandas plumbing. A constant-amplitude
+    sine has window RMS ~= amplitude/sqrt(2); silence is exactly 0."""
+    import math
+
+    from named_entity_algorithm_project_spark.operators.multimodal import (
+        decode_wav_features,
+        probe_wav_meta,
+    )
+
+    loud = _make_wav(amplitude=0.5)
+    quiet = _make_wav(amplitude=0.05)
+    silent = _make_wav(amplitude=0.0)
+    eight_bit = _make_wav(amplitude=0.5, width=1)
+
+    # driver-side decode sanity vs analytic RMS
+    feats = decode_wav_features(loud)
+    assert len(feats) == FEATURE_DIM
+    expect_rms = 0.5 / math.sqrt(2)
+    for f in feats:
+        assert abs(f - expect_rms) < 0.02
+    assert all(f == 0.0 for f in decode_wav_features(silent))
+    assert probe_wav_meta(loud) == (8000, 1, 250)
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(loud), None),
+            (1, "audio", bytearray(quiet), None),
+            (2, "audio", bytearray(silent), None),
+            (3, "audio", bytearray(eight_bit), None),
+            (4, "image", bytearray(b"notawav"), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decode_stub="wav").collect()
+    }
+    assert all(abs(f - expect_rms) < 0.02 for f in rows[0]["features"])
+    assert all(abs(f - 0.05 / math.sqrt(2)) < 0.005 for f in rows[1]["features"])
+    assert all(f == 0.0 for f in rows[2]["features"])
+    # 8-bit path decodes to roughly the same RMS as the 16-bit one
+    assert all(abs(f - expect_rms) < 0.03 for f in rows[3]["features"])
+    # non-audio kinds keep the deterministic fake under decode_stub="wav"
+    assert rows[4]["features"] == [
+        pytest.approx(x) for x in __import__(
+            "named_entity_algorithm_project_spark.operators.multimodal",
+            fromlist=["_fake_decode"],
+        )._fake_decode(b"notawav")
+    ]
