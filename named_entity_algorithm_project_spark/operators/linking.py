@@ -399,12 +399,15 @@ def build_linking_tables(
     spark = mentions.sparkSession
     linkable = linkable_mentions(mentions)
     profiles = norm_profiles(linkable).persist()
-    # one job for both scalars (row count -> base threshold, norm count -> idf)
-    stats = linkable.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("norm").alias("n_norms"),
+    # ONE corpus scan total: the scalar stats derive from the norm-level
+    # profiles (n_rows = Σ freq, n_norms = count), and this job is also
+    # what populates the profiles cache — the previous separate agg over
+    # `linkable` re-scanned the full mentions table a second time.
+    stats = profiles.agg(
+        F.coalesce(F.sum("freq"), F.lit(0)).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_norms"),
     ).collect()[0]
-    n_rows, n_norms = stats["n_rows"], stats["n_norms"]
+    n_rows, n_norms = int(stats["n_rows"]), int(stats["n_norms"])
     base = compute_base_threshold(n_rows)
     if (
         candidate_max_df is None
