@@ -49,6 +49,12 @@ LINEAGE_FILE_SCHEMA = T.StructType(
     [f for f in LINEAGE_SCHEMA.fields if f.name != "bucket"]
 )
 
+# Pending-bucket count up to which per-bucket lineage stats ride the batch
+# write job as observe aggregates (3 per bucket); beyond it the aggregate
+# list would bloat the plan, so stats fall back to a column-pruned re-read
+# of the written files. Tests pin both paths to identical counters.
+OBSERVE_STATS_MAX_BUCKETS = 64
+
 
 # --- Hadoop FileSystem helpers -------------------------------------------
 # The commit/replay protocol (lineage markers, empty-bucket dirs) must hold
@@ -206,7 +212,7 @@ def commit_buckets_batch(
     # everything just written (a second full pass over the extraction
     # bytes, measured ~10s at 3.36M turns on local[8]). Past the cap the
     # aggregate list would bloat the plan, so the re-read path remains.
-    use_observe = 0 < len(buckets) <= 64
+    use_observe = 0 < len(buckets) <= OBSERVE_STATS_MAX_BUCKETS
     to_write = extracted_with_bucket
     obs = None
     if use_observe:

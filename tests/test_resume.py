@@ -81,3 +81,42 @@ def test_metrics_table_written(spark, tmp_path):
         + metrics["n_triples_same_as"]
         == result.triples.count()
     )
+
+
+def test_batch_stats_observe_equals_reread(spark, tmp_path, monkeypatch):
+    """The two per-bucket lineage stats paths — observe aggregates riding
+    the write job (<=OBSERVE_STATS_MAX_BUCKETS pending buckets) and the
+    column-pruned re-read of the written files — must produce identical
+    counters, including an empty bucket."""
+    from named_entity_algorithm_project_spark import io_tables
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_combined,
+    )
+    from pyspark.sql import functions as F
+
+    rows = generate_rows(n_convs=12, seed=19)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    n_buckets = 4
+    extracted = extract_combined(df).withColumn(
+        # bucket 3 left empty on purpose
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets - 1)).cast("int")
+    )
+
+    def run(path, cap):
+        monkeypatch.setattr(io_tables, "OBSERVE_STATS_MAX_BUCKETS", cap)
+        paths = io_tables.StageAPaths(str(path))
+        out = io_tables.commit_buckets_batch(
+            spark, paths, list(range(n_buckets)), extracted, run_id="t"
+        )
+        return {
+            r["bucket"]: (r["n_turns"], r["n_mentions"], r["n_abbrevs"])
+            for r in out
+        }
+
+    via_observe = run(tmp_path / "obs", cap=64)
+    via_reread = run(tmp_path / "rr", cap=0)  # forces the re-read path
+    assert via_observe == via_reread
+    assert set(via_observe) == {0, 1, 2, 3}
+    assert via_observe[3] == (0, 0, 0)  # empty bucket reported as zeros
+    assert sum(v[0] for v in via_observe.values()) == len(rows)
+    assert sum(v[1] for v in via_observe.values()) > 0
