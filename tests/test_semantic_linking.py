@@ -148,3 +148,65 @@ def test_pipeline_accepts_semantic_score_source(spark, tmp_path):
         resume=False,
     )
     assert res.triples.count() > 0
+
+
+def test_band_knobs_thread_through_and_cap_enforced(spark, tmp_path):
+    """PipelineConfig.embed_bands/embed_band_bits reach semantic_pairs_lsh
+    (more bands -> candidate superset at identical exact scores), and the
+    63-plane signature cap raises a clear error."""
+    from named_entity_algorithm_project_spark.operators.linking import (
+        semantic_pairs_lsh,
+    )
+
+    norms = [f"poly{i}material" for i in range(60)] + [
+        "polyAmaterial", "polyAmateria1",
+    ]
+    df = spark.createDataFrame([(n,) for n in norms], "norm string")
+    # NOTE: different (bands, band_bits) combos reseed the hyperplane set
+    # (n_planes changes), so candidate sets are NOT nested across configs —
+    # the invariant is that every emitted score is the exact cosine.
+    import numpy as np
+
+    from named_entity_algorithm_project_spark.functions.embed import embed_batch
+
+    emb = {n: v for n, v in zip(norms, embed_batch(norms))}
+    few = semantic_pairs_lsh(df, bands=2, band_bits=4).collect()
+    many = semantic_pairs_lsh(df, bands=12, band_bits=4).collect()
+    assert len(many) > len(few)  # 12 bands collide far more than 2
+    for r in few + many:
+        assert abs(r["score"] - float(emb[r["a"]] @ emb[r["b"]])) < 1e-9
+
+    with pytest.raises(ValueError, match="63"):
+        semantic_pairs_lsh(df, bands=16, band_bits=4)  # 64 planes
+
+    # the pipeline threads the knobs: an over-cap config fails fast
+    from named_entity_algorithm_project_spark.datagen import (
+        TRANSCRIPTS_SCHEMA,
+        generate_rows,
+    )
+    from named_entity_algorithm_project_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    rows = generate_rows(n_convs=6, seed=23)
+    tdf = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    with pytest.raises(ValueError, match="63"):
+        run_pipeline(
+            spark, tdf, str(tmp_path / "overcap"),
+            config=PipelineConfig(
+                n_buckets=2, score_source="semantic_lsh",
+                embed_bands=32, embed_band_bits=4,
+            ),
+            resume=False,
+        )
+    # and a legal non-default combo runs end-to-end
+    res = run_pipeline(
+        spark, tdf, str(tmp_path / "legal"),
+        config=PipelineConfig(
+            n_buckets=2, score_source="semantic_lsh",
+            embed_bands=12, embed_band_bits=5,
+        ),
+        resume=False,
+    )
+    assert res.triples.count() > 0
