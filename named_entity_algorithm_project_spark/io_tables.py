@@ -177,6 +177,30 @@ def commit_bucket(
     }
 
 
+def _reread_bucket_stats(
+    spark: SparkSession, paths: StageAPaths, written: List[str]
+) -> dict:
+    """Per-bucket lineage counters from a column-pruned agg over the
+    just-written extraction files (the non-observe stats path)."""
+    stats_src = spark.read.option("basePath", paths.extraction).parquet(
+        *written
+    )
+    return {
+        int(r["bucket"]): r
+        for r in stats_src.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.coalesce(F.sum(F.size("ex.mentions")), F.lit(0)).alias(
+                "n_mentions"
+            ),
+            F.coalesce(F.sum(F.size("ex.abbreviations")), F.lit(0)).alias(
+                "n_abbrevs"
+            ),
+        )
+        .collect()
+    }
+
+
 def commit_buckets_batch(
     spark: SparkSession,
     paths: StageAPaths,
@@ -267,27 +291,26 @@ def commit_buckets_batch(
                 for b in buckets
             }
         except Exception:
-            # zero-row write: the CollectMetrics row never materializes
-            # and obs.get trips a JVM assertion — all buckets are empty
-            stats = {}
+            # obs.get trips a JVM assertion when the observed write had
+            # zero rows (the CollectMetrics row never materializes) — but
+            # an observe failure on a NON-empty write must not silently
+            # persist zeroed lineage counters: fall back to the re-read
+            # stats path whenever any bucket actually wrote files.
+            if written:
+                import warnings
+
+                warnings.warn(
+                    "Stage-A observe metrics unavailable on a non-empty "
+                    "write; recomputing lineage stats from the written "
+                    "files",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                stats = _reread_bucket_stats(spark, paths, written)
+            else:
+                stats = {}
     elif written:
-        stats_src = spark.read.option("basePath", paths.extraction).parquet(
-            *written
-        )
-        stats = {
-            int(r["bucket"]): r
-            for r in stats_src.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n_turns"),
-                F.coalesce(F.sum(F.size("ex.mentions")), F.lit(0)).alias(
-                    "n_mentions"
-                ),
-                F.coalesce(F.sum(F.size("ex.abbreviations")), F.lit(0)).alias(
-                    "n_abbrevs"
-                ),
-            )
-            .collect()
-        }
+        stats = _reread_bucket_stats(spark, paths, written)
     out: List[dict] = []
     wall_ms = int((time.time() - t0) * 1000)
     for bucket in sorted(buckets):

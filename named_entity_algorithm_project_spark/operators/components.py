@@ -192,18 +192,22 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _edge_checksum(e: DataFrame):
-    """(count, hash-sum) fingerprint for convergence detection — one job."""
-    row = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            # decimal accumulator: a plain long sum of 64-bit hashes
-            # overflows under ANSI mode
-            F.sum(F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _edges_differ(new: DataFrame, old: DataFrame) -> bool:
+    """Exact set-inequality probe for convergence detection — one job, same
+    shape as the hash-to-min loop's changed-row limit(1) check (a checksum
+    comparison would admit an astronomically-unlikely hash-collision false
+    convergence; this is exact at the same cost). Both inputs are distinct
+    edge sets, so a full-outer join with a one-sided-null filter finds a
+    differing row iff the sets differ."""
+    lhs = new.select("src", "dst", F.lit(1).alias("_new"))
+    rhs = old.select("src", "dst", F.lit(1).alias("_old"))
+    return (
+        lhs.join(rhs, ["src", "dst"], "full_outer")
+        .filter(F.col("_new").isNull() | F.col("_old").isNull())
+        .limit(1)
+        .count()
+        > 0
+    )
 
 
 def _star_labels(
@@ -218,13 +222,11 @@ def _star_labels(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev = _edge_checksum(e)
     for _ in range(max_rounds):
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _edge_checksum(e)
-        if cur == prev:
+        if not _edges_differ(e, prev):
             break
-        prev = cur
     else:
         raise RuntimeError(
             f"star components did not converge in {max_rounds} rounds"

@@ -63,7 +63,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("content_hash", T.StringType(), False),
-        T.StructField("features", T.ArrayType(T.FloatType()), False),
+        # nullable: a malformed payload yields features=NULL (the decode
+        # error is contained per row — one bad payload must not fail the
+        # whole batch job)
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
     ]
 )
 
@@ -113,6 +116,19 @@ def decode_wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     ]
 
 
+def _decode_wav_safe(payload: bytes) -> list[float] | None:
+    """Per-row containment for the real codec: a corrupt RIFF header, a
+    truncated stream, or an unsupported PCM width (24-bit/float) yields
+    features=NULL instead of failing the whole Spark job — the other stub
+    modes tolerate arbitrary bytes, and the real decoder must too."""
+    import wave
+
+    try:
+        return decode_wav_features(payload)
+    except (wave.Error, ValueError, EOFError, OSError):
+        return None
+
+
 def probe_wav_meta(payload: bytes) -> tuple[int, int, int]:
     """(sample_rate, n_channels, duration_ms) from a WAV header —
     metadata backfill for the ``meta`` struct."""
@@ -151,7 +167,7 @@ def extract_media_features(
             payloads = pdf["payload"]
             if decode_stub == "wav":
                 feats = [
-                    decode_wav_features(b) if k == "audio" else _fake_decode(b)
+                    _decode_wav_safe(b) if k == "audio" else _fake_decode(b)
                     for b, k in zip(payloads, pdf["kind"])
                 ]
             else:

@@ -99,10 +99,16 @@ def chunk_text(
         if tokens is not None:
             if len(tokens) <= inner_max:
                 return [(0, text)]
-            enc = tokenizer(
-                text, return_offsets_mapping=True, add_special_tokens=False
-            )
-            offsets = list(enc.get("offset_mapping") or [])
+            # a slow (non-fast) HF tokenizer tokenizes fine but raises
+            # NotImplementedError on return_offsets_mapping — that must
+            # take the word-fallback path, not crash the UDF
+            try:
+                enc = tokenizer(
+                    text, return_offsets_mapping=True, add_special_tokens=False
+                )
+                offsets = list(enc.get("offset_mapping") or [])
+            except Exception:
+                offsets = []
             if len(offsets) == len(tokens):
                 return _chunk_by_tokens(
                     text, tokenizer, offsets, max_tokens, inner_max, overlap
@@ -473,31 +479,53 @@ def spans_from_predictions(
     own edges, so the whole phrase is still found; dropping the edge
     fragment removes the artifact without losing recall (verified:
     restores exact span parity with unchunked extraction end-to-end).
-    Suppression only applies across genuinely overlapping boundaries —
-    overlap=0 chunking keeps every span."""
+    Suppression only applies across genuinely overlapping boundaries,
+    and ONLY when the neighbor chunk fully covers the span's document
+    range — a phrase longer than the overlap that straddles a cut exists
+    whole in NO chunk, so its severed fragments are the only evidence of
+    it and must survive (previously both halves were dropped and the
+    entity vanished entirely). Overlap=0 chunking keeps every span."""
     seen = set()
     spans: List[Tuple[int, int, str, str, float]] = []
     n_chunks = len(chunks)
     for i, ((chunk_start, chunk_str), preds) in enumerate(
         zip(chunks, preds_per_chunk)
     ):
-        prev_overlaps = (
-            i > 0 and chunks[i - 1][0] + len(chunks[i - 1][1]) > chunk_start
+        chunk_end = chunk_start + len(chunk_str)
+        prev_start = chunks[i - 1][0] if i > 0 else None
+        prev_end = (
+            chunks[i - 1][0] + len(chunks[i - 1][1]) if i > 0 else None
         )
-        next_overlaps = (
-            i < n_chunks - 1 and chunks[i + 1][0] < chunk_start + len(chunk_str)
+        next_start = chunks[i + 1][0] if i < n_chunks - 1 else None
+        next_end = (
+            chunks[i + 1][0] + len(chunks[i + 1][1])
+            if i < n_chunks - 1
+            else None
         )
+        prev_overlaps = prev_end is not None and prev_end > chunk_start
+        next_overlaps = next_start is not None and next_start < chunk_end
         for p in preds:
             rel_s = int(p.get("start", 0))
             rel_e = int(p.get("end", 0))
             if rel_s >= rel_e:
                 continue
-            if prev_overlaps and rel_s == 0:
+            doc_s = chunk_start + rel_s
+            doc_e = chunk_start + rel_e
+            if (
+                prev_overlaps
+                and rel_s == 0
+                and prev_start <= doc_s
+                and doc_e <= prev_end
+            ):
                 continue
-            if next_overlaps and rel_e >= len(chunk_str):
+            if (
+                next_overlaps
+                and rel_e >= len(chunk_str)
+                and next_start <= doc_s
+                and doc_e <= next_end
+            ):
                 continue
-            s = chunk_start + rel_s
-            e = chunk_start + rel_e
+            s, e = doc_s, doc_e
             word = work_text[s:e]
             key = (s, e, word.lower())
             if key in seen:

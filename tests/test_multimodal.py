@@ -135,3 +135,39 @@ def test_wav_codec_end_to_end(spark):
             fromlist=["_fake_decode"],
         )._fake_decode(b"notawav")
     ]
+
+
+def test_wav_codec_tolerates_malformed_payloads(spark):
+    """One corrupt/unsupported audio payload must not fail the whole batch
+    job: the bad row yields features=NULL, every good row still decodes."""
+    import math
+    import struct
+
+    good = _make_wav(amplitude=0.5)
+    # 24-bit PCM: wave parses the header fine but the sample width is
+    # unsupported by the decoder (the ValueError arm)
+    w24 = bytearray(good)
+    # RIFF fmt chunk: BitsPerSample at offset 34, BlockAlign at 32
+    struct.pack_into("<H", w24, 32, 3)
+    struct.pack_into("<H", w24, 34, 24)
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(good), None),
+            (1, "audio", bytearray(b"not RIFF at all"), None),  # wave.Error
+            (2, "audio", bytearray(w24), None),  # unsupported width
+            (3, "audio", None, None),  # null payload
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decode_stub="wav").collect()
+    }
+    assert all(
+        abs(f - 0.5 / math.sqrt(2)) < 0.02 for f in rows[0]["features"]
+    )
+    assert rows[1]["features"] is None
+    assert rows[2]["features"] is None
+    assert rows[3]["features"] is None  # empty bytes -> wave.Error, contained
+    # hashes still computed for every row (decode failure is per-field)
+    assert all(rows[k]["content_hash"] for k in rows)

@@ -389,6 +389,59 @@ def test_edge_touching_span_suppression():
     ]
 
 
+def test_edge_suppression_keeps_straddling_long_entity():
+    """A phrase LONGER than the overlap that straddles a cut exists whole
+    in no chunk — its severed fragments are the only evidence of it, so
+    both must survive (suppression requires the neighbor chunk to fully
+    cover the span's document range)."""
+    from named_entity_algorithm_project_spark.operators.neural import (
+        spans_from_predictions,
+    )
+
+    text = "aa bb cc dd ee"
+    #       0  3  6  9  12
+    chunks = [(0, "aa bb cc"), (6, "cc dd ee")]  # overlap = "cc" [6,8)
+    # entity "bb cc dd" [3,11) straddles the cut: chunk 0 sees "bb cc"
+    # (ends at its edge), chunk 1 sees "cc dd" (starts at its edge)
+    preds = [
+        [{"entity_group": "X", "score": 0.9, "word": "bb cc", "start": 3, "end": 8}],
+        [{"entity_group": "X", "score": 0.9, "word": "cc dd", "start": 0, "end": 5}],
+    ]
+    spans = spans_from_predictions(text, chunks, preds)
+    # neither fragment is fully covered by the neighbor -> both kept
+    assert [(s, e, w) for s, e, w, _, _ in spans] == [
+        (3, 8, "bb cc"),
+        (6, 11, "cc dd"),
+    ]
+
+
+def test_chunk_text_slow_tokenizer_offsets_fallback():
+    """A slow (non-fast) HF tokenizer tokenizes fine but raises on
+    return_offsets_mapping — chunk_text must take the word-fallback path
+    instead of crashing the UDF."""
+    from named_entity_algorithm_project_spark.operators.neural import chunk_text
+
+    class _SlowTokenizer:
+        def tokenize(self, text):
+            return text.split()
+
+        def __call__(self, text, return_offsets_mapping=False,
+                     add_special_tokens=False):
+            if return_offsets_mapping:
+                raise NotImplementedError(
+                    "return_offset_mapping is not available with this tokenizer"
+                )
+            n = len(text.split()) + (2 if add_special_tokens else 0)
+            return {"input_ids": list(range(n))}
+
+    text = " ".join(f"w{i:02d}" for i in range(20))
+    chunks = chunk_text(text, max_tokens=10, overlap=2,
+                        tokenizer=_SlowTokenizer())
+    assert len(chunks) > 1  # word fallback actually chunked
+    for start, chunk in chunks:
+        assert text[start:start + len(chunk)] == chunk  # exact slices
+
+
 # ---------------------------------------------------------------------------
 # HF adapter contract, via a fake `transformers` module (no torch needed)
 # ---------------------------------------------------------------------------

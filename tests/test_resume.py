@@ -119,4 +119,20 @@ def test_batch_stats_observe_equals_reread(spark, tmp_path, monkeypatch):
     assert set(via_observe) == {0, 1, 2, 3}
     assert via_observe[3] == (0, 0, 0)  # empty bucket reported as zeros
     assert sum(v[0] for v in via_observe.values()) == len(rows)
+
+    # an observe FAILURE on a non-empty write must not persist zeroed
+    # counters — the fallback recomputes them from the written files
+    import pyspark.sql
+
+    def _boom(self):
+        raise RuntimeError("injected observe failure")
+
+    monkeypatch.setattr(
+        pyspark.sql.Observation, "get", property(_boom), raising=True
+    )
+    import pytest as _pytest
+
+    with _pytest.warns(RuntimeWarning, match="observe metrics unavailable"):
+        via_fallback = run(tmp_path / "fb", cap=64)
+    assert via_fallback == via_reread
     assert sum(v[1] for v in via_observe.values()) > 0
