@@ -270,6 +270,24 @@ def semantic_pairs_lsh(
     )
 
 
+#: semantic_lsh AUTO tier boundary: below this vocabulary size the 8x4
+#: default blocks well (measured 0.985 candidate recall at the 0.80 gate,
+#: BENCH.md L4 table); past it the 4-bit bands block too weakly (candidate
+#: volume grows ~N²/2^bits) and the measured 10x6 tier takes over — the
+#: same n_norms-keyed AUTO the TF-IDF df-cap uses.
+SEMANTIC_AUTO_TIER_VOCAB = 40_000
+
+
+def semantic_lsh_tier(n_norms: int) -> Tuple[int, int]:
+    """(bands, band_bits) for a vocabulary size — the measured tiers from
+    scripts/semantic_bench.py (BENCH.md): 8x4 holds ~0.985 recall at the
+    0.80 gate below ~40k norms; 10x6 keeps candidate volume bounded above
+    it at ~0.97 recall. Explicit user dials always win over this AUTO."""
+    if n_norms <= SEMANTIC_AUTO_TIER_VOCAB:
+        return (8, 4)
+    return (10, 6)
+
+
 def abbreviation_edges(abbrevs: DataFrame) -> DataFrame:
     """Distinct (src=abbr_norm, dst=expansion_norm) pairs from the per-turn
     abbreviation registry (app.py:3027-3043). Gating happens in
@@ -373,8 +391,8 @@ def build_linking_tables(
     auto_block_df_abs: int = 4_000,
     score_source: str = "tfidf",
     embed_dim: int = 64,
-    embed_bands: int = 8,
-    embed_band_bits: int = 4,
+    embed_bands: Optional[int] = None,
+    embed_band_bits: Optional[int] = None,
 ) -> LinkingTables:
     """Assemble the full gated edge list for connected components.
 
@@ -384,7 +402,10 @@ def build_linking_tables(
     use_semantic path, app.py:3084-3110; O(N²), small vocabularies), or
     "semantic_lsh" (L4 at scale: LSH-blocked candidates, exact re-rank;
     ``embed_bands``/``embed_band_bits`` dial candidate recall — see
-    :func:`semantic_pairs_lsh`).
+    :func:`semantic_pairs_lsh`). ``embed_bands=None``/``embed_band_bits=None``
+    means AUTO: the bands×bits tier keys off the measured vocabulary size
+    (:func:`semantic_lsh_tier` — 8x4 below ~40k norms, 10x6 above), exactly
+    as the TF-IDF df-cap AUTO keys off ``n_norms``; an explicit int wins.
 
     ``candidate_max_df=None`` means AUTO: exact (no n-gram dropped) while the
     vocabulary is under ``auto_block_min_vocab`` unique norms, else capped at
@@ -483,11 +504,14 @@ def build_linking_tables(
     if score_source == "semantic_exact":
         scored = semantic_pairs_exact(profiles.select("norm"), dim=embed_dim)
     elif score_source == "semantic_lsh":
+        tier_bands, tier_bits = semantic_lsh_tier(n_norms)
         scored = semantic_pairs_lsh(
             profiles.select("norm"),
             dim=embed_dim,
-            bands=embed_bands,
-            band_bits=embed_band_bits,
+            bands=embed_bands if embed_bands is not None else tier_bands,
+            band_bits=(
+                embed_band_bits if embed_band_bits is not None else tier_bits
+            ),
         )
     else:
         weights = tfidf_weights(profiles.select("norm"), n_norms)

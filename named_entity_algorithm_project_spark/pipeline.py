@@ -83,10 +83,12 @@ class PipelineConfig:
     score_source: str = "tfidf"
     # semantic_lsh recall dials (candidate prob at cosine c is
     # 1-(1-p^band_bits)^bands with p = 1-acos(c)/pi): more bands = more
-    # recall & more candidates; more band_bits = tighter blocks. The 8x4
-    # default holds ~0.98 candidate recall at the 0.80 gate threshold.
-    embed_bands: int = 8
-    embed_band_bits: int = 4
+    # recall & more candidates; more band_bits = tighter blocks. None =
+    # AUTO tier keyed off the measured vocabulary size (8x4 below ~40k
+    # norms at ~0.985 recall @0.80, 10x6 above — linking.semantic_lsh_tier);
+    # an explicit int always wins.
+    embed_bands: Optional[int] = None
+    embed_band_bits: Optional[int] = None
 
 
 @dataclass

@@ -1107,3 +1107,96 @@ def q33_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=_SIMHASH_BITS, hash_family="md5").select(
         "doc", F.col("simhash").cast("long").alias("simhash")
     )
+
+
+_Q34_UNITS = ["V", "nm", "K", "Pa", "mA"]
+_Q34_UNITS_SQL = "['" + "', '".join(_Q34_UNITS) + "']"
+
+
+@_register(
+    "q34_value_unit_link",
+    f"""
+    WITH li AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS doc_id, l_linenumber, l_suppkey,
+             CAST(CAST(floor(l_quantity) AS INT) AS VARCHAR) AS qty,
+             list_extract({_Q34_UNITS_SQL},
+               1 + CAST((l_linenumber + l_suppkey) % 5 AS INT)) AS unit_text
+      FROM lineitem WHERE l_orderkey % 50 = 0
+    ), vals AS (
+      SELECT doc_id, qty AS value_text,
+             100 + 3 * l_linenumber AS v_start,
+             100 + 3 * l_linenumber + len(qty) AS v_end
+      FROM li
+    ), units AS (
+      SELECT doc_id, unit_text,
+             60 + 7 * l_linenumber + (l_suppkey % 50) AS u_start,
+             60 + 7 * l_linenumber + (l_suppkey % 50) + len(unit_text) AS u_end
+      FROM li
+    ), joined AS (
+      SELECT v.doc_id, v.value_text, v.v_start, v.v_end,
+             u.unit_text, u.u_start, u.u_end,
+        CASE WHEN u.u_start >= v.v_end THEN 0
+             WHEN u.u_end <= v.v_start THEN 1 ELSE 0 END AS direction,
+        CASE WHEN u.u_start >= v.v_end THEN u.u_start - v.v_end
+             WHEN u.u_end <= v.v_start THEN v.v_start - u.u_end
+             ELSE 0 END AS gap,
+        abs(CAST(floor((u.u_start + u.u_end) / 2.0) AS INT)
+            - CAST(floor((v.v_start + v.v_end) / 2.0) AS INT)) AS proximity,
+        abs(u.u_start - v.v_end) AS tie
+      FROM vals v JOIN units u USING (doc_id)
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id, value_text, v_start
+               ORDER BY direction, gap, proximity, tie, u_start, unit_text
+             ) AS rn
+      FROM joined WHERE gap <= 30
+    )
+    SELECT doc_id, value_text, CAST(v_start AS INT) AS value_start,
+           unit_text AS linked_unit,
+           value_text || ' ' || unit_text AS measurement
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q34_value_unit_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 value↔unit interval join (operators/triples.link_value_units —
+    the reference's Measurement semantics, app.py:1052-1246): per value,
+    the best unit under the composite (direction, gap, proximity, tie)
+    ordering with gap>30 disqualifying. The mention table is fabricated
+    from lineitem with pure relational expressions so the DuckDB oracle
+    replicates BOTH the fabrication and the full ranking cascade in ANSI
+    SQL — pinning exactly the composite-ordering logic."""
+    from .operators.triples import link_value_units
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    qty = F.floor("l_quantity").cast("int").cast("string")
+    unit = F.element_at(
+        F.array(*[F.lit(u) for u in _Q34_UNITS]),
+        (1 + (F.col("l_linenumber") + F.col("l_suppkey")) % 5).cast("int"),
+    )
+    doc_id = F.col("l_orderkey").cast("string").alias("doc_id")
+    v_start = (F.lit(100) + 3 * F.col("l_linenumber")).cast("int")
+    u_start = (
+        F.lit(60) + 7 * F.col("l_linenumber") + F.col("l_suppkey") % 50
+    ).cast("int")
+    values = li.select(
+        doc_id,
+        qty.alias("entity"),
+        F.lit("PROP_VALUE").alias("entity_type"),
+        v_start.alias("start"),
+        (v_start + F.length(qty)).cast("int").alias("end"),
+    )
+    units = li.select(
+        doc_id,
+        unit.alias("entity"),
+        F.lit("PROP_VALUE").alias("entity_type"),
+        u_start.alias("start"),
+        (u_start + F.length(unit)).cast("int").alias("end"),
+    )
+    mentions = values.unionByName(units)
+    return link_value_units(mentions, key_cols=("doc_id",)).select(
+        "doc_id",
+        "value_text",
+        F.col("value_start").cast("int").alias("value_start"),
+        "linked_unit",
+        "measurement",
+    )

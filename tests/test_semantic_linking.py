@@ -210,3 +210,53 @@ def test_band_knobs_thread_through_and_cap_enforced(spark, tmp_path):
         resume=False,
     )
     assert res.triples.count() > 0
+
+
+def test_semantic_lsh_auto_tier_selection(spark, monkeypatch):
+    """Bands×bits AUTO keys off the vocabulary size exactly like the
+    TF-IDF df-cap AUTO: 8x4 at/below the boundary, 10x6 above; an explicit
+    dial always wins over the tier."""
+    from named_entity_algorithm_project_spark.operators import linking
+
+    # the tier function flips exactly at the boundary
+    assert linking.semantic_lsh_tier(linking.SEMANTIC_AUTO_TIER_VOCAB) == (8, 4)
+    assert linking.semantic_lsh_tier(linking.SEMANTIC_AUTO_TIER_VOCAB + 1) == (
+        10,
+        6,
+    )
+
+    # build_linking_tables resolves None dials through the tier (spied via
+    # a recording wrapper; boundary shrunk so a test-sized corpus crosses it)
+    from named_entity_algorithm_project_spark.datagen import (
+        TRANSCRIPTS_SCHEMA,
+        generate_rows,
+    )
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_mentions,
+    )
+
+    rows = generate_rows(n_convs=10, seed=5)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    mentions, abbrevs = extract_mentions(df)
+
+    calls = []
+    real = linking.semantic_pairs_lsh
+
+    def spy(norms, dim=64, bands=8, band_bits=4):
+        calls.append((bands, band_bits))
+        return real(norms, dim=dim, bands=bands, band_bits=band_bits)
+
+    monkeypatch.setattr(linking, "semantic_pairs_lsh", spy)
+
+    linking.build_linking_tables(mentions, abbrevs, score_source="semantic_lsh")
+    assert calls[-1] == (8, 4)  # small vocab -> base tier
+
+    monkeypatch.setattr(linking, "SEMANTIC_AUTO_TIER_VOCAB", 1)
+    linking.build_linking_tables(mentions, abbrevs, score_source="semantic_lsh")
+    assert calls[-1] == (10, 6)  # past the boundary -> scale tier
+
+    linking.build_linking_tables(
+        mentions, abbrevs, score_source="semantic_lsh",
+        embed_bands=6, embed_band_bits=5,
+    )
+    assert calls[-1] == (6, 5)  # explicit dials beat the AUTO tier
