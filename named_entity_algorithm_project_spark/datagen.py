@@ -66,12 +66,24 @@ _TOOLS = ["search", "calculator", "plotter", None]
 # vocab_scale=1 (the default, and what every pinned oracle/query fixture
 # uses) draws from the base pools above and produces BIT-IDENTICAL rows to
 # the original generator. vocab_scale>1 widens the pools with synthetic
-# alias families — each synthetic material exists in a dash form and a
-# fused form ("pm6-v0001" / "pm6v0001": distinct norms, heavy char-n-gram
-# overlap, exactly the surface variation the TF-IDF linking join must
-# candidate-pair) — plus synthetic abbreviation definitions, so a large
-# corpus carries the >50k unique linkable norms that engage the AUTO
-# df-cap (build_linking_tables) instead of recycling a toy vocabulary.
+# alias families — each synthetic material exists in FOUR surface forms:
+#
+#   dash    "pm6-v00001"    (the canonical spelling)
+#   plural  "pm6-v00001s"   (trailing-s morphology — high char-n-gram
+#                            overlap, like the base pool's plural aliases;
+#                            SHOULD merge under the reference gates)
+#   upper   "PM6-V00001"    (case variant — TfidfVectorizer lowercases, so
+#                            cosine is exactly 1.0; SHOULD always merge)
+#   fused   "pm6v00001"     (dash dropped — measured cosine sits BELOW the
+#                            0.85 large-corpus gate even under the exact
+#                            join, so these are the planted HARD NEGATIVES,
+#                            not mergeable ground truth)
+#
+# plus synthetic abbreviation definitions, so a large corpus carries the
+# >50k unique linkable norms that engage the AUTO df-cap
+# (build_linking_tables) instead of recycling a toy vocabulary.
+# planted_alias_pairs()/planted_hard_pairs() expose the ground truth for
+# the recall measurements (scripts/linking_scale_run.py, test_linking).
 
 _POOL_CACHE: dict = {}
 
@@ -84,11 +96,8 @@ def _pools(vocab_scale: int):
     if cached is not None:
         return cached
     materials = list(_MATERIALS)
-    stems = [m.lower().replace(":", "").replace("-", "") for m in _MATERIALS]
-    for i in range(len(_MATERIALS) * (vocab_scale - 1)):
-        stem = stems[i % len(stems)]
-        materials.append(f"{stem}-v{i:05d}")
-        materials.append(f"{stem}v{i:05d}")
+    for dash, plural, upper, fused in _planted_material_forms(vocab_scale):
+        materials.extend((dash, plural, upper, fused))
     n_abbr = min(5000, 4 * (vocab_scale - 1))
     abbrevs = list(_ABBREV_SEEDS) + [
         (f"transport factor {i}", f"TF{i}") for i in range(n_abbr)
@@ -96,6 +105,46 @@ def _pools(vocab_scale: int):
     out = (materials, _ALIAS_FAMILIES, abbrevs)
     _POOL_CACHE[vocab_scale] = out
     return out
+
+
+def _planted_material_forms(vocab_scale: int):
+    """(dash, plural, upper, fused) per synthetic material index."""
+    stems = [m.lower().replace(":", "").replace("-", "") for m in _MATERIALS]
+    for i in range(len(_MATERIALS) * (vocab_scale - 1)):
+        stem = stems[i % len(stems)]
+        dash = f"{stem}-v{i:05d}"
+        yield dash, dash + "s", dash.upper(), f"{stem}v{i:05d}"
+
+
+def planted_alias_pairs(vocab_scale: int) -> List[Tuple[str, str]]:
+    """MERGEABLE ground truth for linking quality at scale: per synthetic
+    material, the (dash, plural) and (dash, upper) surface pairs — the
+    morphology/case variation the reference's TF-IDF gates DO merge (case
+    variants score exactly 1.0; plural variants score high).
+    scripts/linking_scale_run.py reports direct-edge recall over the pairs
+    whose both spellings were extracted; tests/test_linking.py pins that
+    the AUTO df-cap does not lose them relative to the exact join."""
+    if vocab_scale <= 1:
+        return []
+    out: List[Tuple[str, str]] = []
+    for dash, plural, upper, _fused in _planted_material_forms(vocab_scale):
+        out.append((dash, plural))
+        out.append((dash, upper))
+    return out
+
+
+def planted_hard_pairs(vocab_scale: int) -> List[Tuple[str, str]]:
+    """HARD-NEGATIVE ground truth: the (dash, fused) pairs whose char-gram
+    cosine sits below the large-corpus gate even under the EXACT join
+    (measured — dropping the dash destroys the boundary grams). Reported
+    separately so the recall number for mergeable pairs is not diluted by
+    pairs the reference semantics themselves never merge."""
+    if vocab_scale <= 1:
+        return []
+    return [
+        (dash, fused)
+        for dash, _plural, _upper, fused in _planted_material_forms(vocab_scale)
+    ]
 
 
 def _make_turn_text(rng: random.Random, vocab_scale: int = 1) -> str:

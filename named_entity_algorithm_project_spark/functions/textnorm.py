@@ -95,6 +95,15 @@ def adaptive_threshold(term: str, base: float) -> float:
     return max(base, 0.82)
 
 
+def adaptive_threshold_floor(base: float) -> float:
+    """The GLOBAL minimum any per-term adaptive threshold can take
+    (app.py:3003-3012): the four length tiers are max(0.95, b), max(0.92, b),
+    max(0.88, b) and max(b, 0.82), so no candidate pair can pass the edge
+    gate below ``max(base, 0.82)``. This is the exactness bound the
+    prefix-filtered similarity join prunes against (linking.py)."""
+    return max(base, 0.82)
+
+
 def adaptive_threshold_col(term: Column, base: float) -> Column:
     """Column form of :func:`adaptive_threshold` for the candidate-pair table."""
     length = F.length(F.regexp_replace(term, r"\s", ""))

@@ -96,19 +96,42 @@ def apply_canonical_map(
     )
 
 
-def resolve_merge_chains(merge_map: Mapping[str, str], max_depth: int = 10) -> Dict[str, str]:
-    """Path-compress source->target chains (app.py:1797-1816). Driver-side:
-    the user merge map is a tiny dimension."""
+def resolve_merge_chains(merge_map: Mapping[str, str]) -> Dict[str, str]:
+    """Path-compress source->target chains exactly like the reference's
+    _build_canonical_merge_lookup (app.py:1797-1816), driver-side (the user
+    merge map is a tiny dimension). Reference semantics preserved verbatim:
+
+    * source keys are LOWERCASED (matching is case-insensitive); targets
+      keep their original case;
+    * entries whose source equals their target case-insensitively are
+      dropped before resolution;
+    * chains are followed case-insensitively and stop when the next hop's
+      lowercase key was already seen — so in a cycle each source resolves
+      to the LAST target before the walk would revisit a seen key (e.g.
+      {a->b, B->c, c->A} resolves a->"A", b->"b", c->"c" — a quirk the
+      golden fixture pins, tests/test_golden_linking.py)."""
+    cleaned: Dict[str, str] = {}
+    for source, target in merge_map.items():
+        s = str(source or "").strip()
+        t = str(target or "").strip()
+        if not s or not t:
+            continue
+        if s.lower() == t.lower():
+            continue
+        cleaned[s.lower()] = t
     resolved: Dict[str, str] = {}
-    for source in merge_map:
-        target = merge_map[source]
-        seen = {source}
-        depth = 0
-        while target in merge_map and target not in seen and depth < max_depth:
-            seen.add(target)
-            target = merge_map[target]
-            depth += 1
-        resolved[source] = target
+    for source_lower, initial_target in cleaned.items():
+        current = initial_target
+        seen = {source_lower}
+        while (
+            current
+            and current.lower() in cleaned
+            and current.lower() not in seen
+        ):
+            seen.add(current.lower())
+            current = cleaned[current.lower()]
+        if current:
+            resolved[source_lower] = current
     return resolved
 
 
@@ -155,23 +178,35 @@ def apply_user_overrides(
 
     if merge_map:
         resolved = resolve_merge_chains(dict(merge_map))
-        rows = [(s, t) for s, t in sorted(resolved.items()) if s and t and s != t]
+        # keep s == t.lower() rows: the reference's resolve() still rewrites
+        # the CASE of a matching canonical to the stored target
+        rows = [(s, t) for s, t in sorted(resolved.items()) if s and t]
         if rows:
             dim = spark.createDataFrame(rows, "m_source string, m_target string")
             out = (
                 out.join(
                     F.broadcast(dim),
-                    F.col("canonical") == F.col("m_source"),
+                    # reference lookup keys are lowercase: match canonical
+                    # case-insensitively (app.py:1836-1841)
+                    F.lower(F.col("canonical")) == F.col("m_source"),
                     "left",
                 )
                 .withColumn(
                     "canonical",
-                    F.coalesce(F.col("m_target"), F.col("canonical")),
+                    # value-type rows bypass the merge map exactly like the
+                    # reference's skip_types mask (app.py:2324-2326)
+                    F.when(
+                        F.col("m_target").isNotNull()
+                        & ~F.upper(F.col("entity_type")).isin(*SKIP_TYPES),
+                        F.col("m_target"),
+                    ).otherwise(F.col("canonical")),
                 )
                 .withColumn(
                     "canonical_display",
                     F.when(
-                        F.col("m_target").isNotNull(), F.upper(F.col("m_target"))
+                        F.col("m_target").isNotNull()
+                        & ~F.upper(F.col("entity_type")).isin(*SKIP_TYPES),
+                        F.upper(F.col("m_target")),
                     ).otherwise(F.col("canonical_display")),
                 )
                 .drop("m_source", "m_target")

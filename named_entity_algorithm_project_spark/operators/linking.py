@@ -14,6 +14,13 @@ This is exact (same formula as sklearn TfidfVectorizer char_wb 3-5 +
 cosine_similarity) but never materializes N² — only pairs that share at
 least one n-gram, which is also the only set that can score > 0.
 
+The DEFAULT candidate strategy tightens this further with ppjoin-style
+prefix filtering (:func:`similarity_pairs_prefix`): only pairs sharing a
+gram in one side's high-weight PREFIX can reach the gate floor
+(Cauchy–Schwarz over the low-weight suffixes), so the join volume falls
+from Σ_g df_g² to Σ_g df_g·prefix_df_g — measured 15× on a 62k-norm
+corpus with the identical gated edge set (scripts/prefix_bench.py).
+
 Skew: ubiquitous n-grams (" po", "ly") make some (a, b) partial products
 land on few reducers; the pair-sum aggregation is explicitly salted
 (two-stage: (pair, salt) partial sums → pair total), on top of AQE skew-join
@@ -56,9 +63,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.sql import Window
+
 from ..dictionaries import DOMAIN_ALIAS_SUBSTRINGS, PROTECTED_TERMS
 from ..functions.ngrams import char_wb_ngrams
-from ..functions.textnorm import adaptive_threshold_col
+from ..functions.textnorm import adaptive_threshold_col, adaptive_threshold_floor
 
 SKIP_TYPES = ("PROP_VALUE", "MATERIAL_AMOUNT")
 
@@ -170,6 +179,126 @@ def similarity_pairs(
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("part"))
     )
     return partial.groupBy("a", "b").agg(F.sum("part").alias("score"))
+
+
+def similarity_pairs_prefix(
+    weights: DataFrame,
+    gate_floor: float,
+    salt_partitions: int = 16,
+    candidate_max_df: Optional[int] = None,
+    df_counts: Optional[DataFrame] = None,
+    cap_scope: str = "candidates",
+) -> DataFrame:
+    """Prefix-filtered similarity join (AllPairs/ppjoin family — Bayardo
+    et al., "Scaling Up All Pairs Similarity Search", WWW'07): a fraction
+    of the naive join volume, with provable relations to
+    :func:`similarity_pairs`'s output.
+
+    The edge gate never passes a pair below ``gate_floor``
+    (= adaptive_threshold_floor(base) — the minimum of the reference's
+    per-term thresholds, app.py:3003-3012). Split each norm's n-gram
+    vector into a high-weight PREFIX and a low-weight SUFFIX such that the
+    suffix's squared mass stays under the floor; by Cauchy–Schwarz a pair
+    whose shared grams all fall in both suffixes scores
+    ≤ ‖suf_a‖·‖suf_b‖ < gate_floor, so only pairs sharing at least one
+    PREFIX gram can ever pass the gate. Candidate generation joins
+    postings × prefix-postings (Σ_g df_g·prefix_df_g rows instead of the
+    naive Σ_g df_g² — the high-df grams that dominate the quadratic term
+    carry the least idf weight, so they land in suffixes and their df²
+    blowup disappears), then the cosine is recomputed per candidate with
+    the same salted two-stage aggregation as the naive join. UNCAPPED,
+    the gated edge set is IDENTICAL to the naive join's (pinned in
+    tests/test_linking.py).
+
+    ``candidate_max_df`` composes via ``cap_scope``:
+
+    * ``"candidates"`` (default): the cap bounds CANDIDATE GENERATION
+      only (grams with df>cap never join), while scoring runs over the
+      FULL vectors — every emitted score is the EXACT cosine. The gated
+      edge set is a SUPERSET of the naive capped path's: a naive-capped
+      edge shares a sub-cap gram scoring ≥ the gate, which cannot happen
+      with all shared sub-cap grams in both suffixes (the Cauchy–Schwarz
+      bound), so the pair is a candidate here too, and its exact score
+      ≥ the naive lower bound. This closes the measured quality hole
+      where a morphology-heavy vocabulary (every gram of a planted alias
+      pair moderately common) drove even cosine-1.0 case variants' capped
+      lower-bound scores under the gate — planted-pair recall collapsed
+      to 0 while the exact join held 0.5+ (test_planted_pair_recall_
+      under_cap pins the recovery).
+    * ``"all"``: the cap drops grams from scoring too — term-for-term
+      equal to the naive capped path's lower-bound scores, identical
+      gated edges (the A/B parity mode scripts/prefix_bench.py hashes).
+    """
+    # the weights feed several consumers below (prefix marking, the
+    # candidate join, score sides) — materialize once instead of
+    # re-running the TF-IDF explode/agg/join DAG per consumer
+    weights = weights.localCheckpoint(eager=True)
+    cand_weights = weights
+    if candidate_max_df is not None and df_counts is not None:
+        keep = df_counts.filter(F.col("df") <= candidate_max_df).select("ngram")
+        cand_weights = weights.join(F.broadcast(keep), "ngram")
+    score_weights = weights if cap_scope == "candidates" else cand_weights
+    # float-safety margin widens prefixes slightly (never prunes a pair the
+    # exact arithmetic could pass)
+    t_eff = max(gate_floor - 1e-9, 0.0)
+
+    w2 = F.col("w") * F.col("w")
+    order_win = Window.partitionBy("norm").orderBy(F.desc("w"), F.asc("ngram"))
+    cum = F.sum(w2).over(
+        order_win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(w2).over(Window.partitionBy("norm"))
+    # suffix mass BEFORE this row (descending-weight order): the row joins
+    # the prefix while the not-yet-covered tail could still reach the floor
+    marked = cand_weights.withColumn("_suffix_before", total - cum + w2)
+    keep_prefix = F.col("_suffix_before") >= t_eff
+    if cap_scope == "candidates" and candidate_max_df is not None:
+        # Under a heavy cap a vector can lose so much squared mass that the
+        # suffix rule yields an EMPTY prefix (capped total < gate floor) —
+        # consistent with the naive capped gate (its lower-bound score
+        # cannot pass either) but fatal for exact scoring, which this
+        # scope exists to provide. Guarantee a minimum prefix of the
+        # top-weight SUB-CAP grams: those are the rarest, most
+        # identity-carrying grams (df of a few), so the extra candidate
+        # volume is tiny while pairs whose similarity lives in rare grams
+        # (case/morphology variants of the same surface form) stay
+        # reachable.
+        rank = F.row_number().over(order_win)
+        keep_prefix = keep_prefix | (rank <= F.lit(4))
+    marked = marked.withColumn("_keep", keep_prefix)
+    prefix = marked.filter(F.col("_keep")).select("norm", "ngram")
+
+    # ONE postings×prefix join covers both orientations: a pair sharing a
+    # gram in EITHER side's prefix appears (normalized to a < b)
+    cand = (
+        cand_weights.select(F.col("norm").alias("x"), "ngram")
+        .join(prefix.select(F.col("norm").alias("y"), "ngram"), "ngram")
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+
+    left = score_weights.select(
+        F.col("norm").alias("a"), "ngram", F.col("w").alias("wa")
+    )
+    right = score_weights.select(
+        F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
+    )
+    joined = cand.join(left, "a").join(right, ["b", "ngram"])
+    partial = (
+        joined.withColumn(
+            "salt", F.pmod(F.xxhash64("ngram"), F.lit(salt_partitions))
+        )
+        .groupBy("a", "b", "salt")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("part"))
+    )
+    return (
+        partial.groupBy("a", "b")
+        .agg(F.sum("part").alias("score"))
+        .filter(F.col("score") >= F.lit(t_eff))
+    )
 
 
 def semantic_pairs_exact(
@@ -393,6 +522,7 @@ def build_linking_tables(
     embed_dim: int = 64,
     embed_bands: Optional[int] = None,
     embed_band_bits: Optional[int] = None,
+    tfidf_candidates: str = "prefix",
 ) -> LinkingTables:
     """Assemble the full gated edge list for connected components.
 
@@ -520,12 +650,30 @@ def build_linking_tables(
             if candidate_max_df is not None
             else None
         )
-        scored = similarity_pairs(
-            weights,
-            salt_partitions=salt_partitions,
-            candidate_max_df=candidate_max_df,
-            df_counts=tf_df_counts,
-        )
+        if tfidf_candidates in ("prefix", "prefix_parity"):
+            # default "prefix": ppjoin-style prefix filtering — identical
+            # gated edges uncapped, EXACT-scored superset under the df-cap
+            # (cap bounds candidate generation only); "prefix_parity"
+            # reproduces the naive capped lower-bound scores bit-for-bit
+            # (A/B hashing); "all" keeps the plain inverted-index join
+            # (oracle tests / benchmarking baseline).
+            scored = similarity_pairs_prefix(
+                weights,
+                gate_floor=adaptive_threshold_floor(base),
+                salt_partitions=salt_partitions,
+                candidate_max_df=candidate_max_df,
+                df_counts=tf_df_counts,
+                cap_scope=(
+                    "candidates" if tfidf_candidates == "prefix" else "all"
+                ),
+            )
+        else:
+            scored = similarity_pairs(
+                weights,
+                salt_partitions=salt_partitions,
+                candidate_max_df=candidate_max_df,
+                df_counts=tf_df_counts,
+            )
 
     sim_edges = gate_scored_pairs(scored, profiles_eff, protected, base)
 

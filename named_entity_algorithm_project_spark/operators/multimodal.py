@@ -10,11 +10,16 @@ the decode step is STUBBED two ways:
   stable pseudo-features) so the full plumbing is testable end-to-end;
 * ``decode_stub="raise"`` — ``NotImplementedError`` marking exactly where
   PIL/torchaudio/ffmpeg plug in;
-* ``decode_stub="wav"`` — a REAL codec for one media kind: ``kind=audio``
-  payloads are parsed as RIFF/WAVE with the stdlib ``wave`` module and
-  featurized from the actual PCM samples (per-window RMS); non-audio
-  kinds keep the deterministic fake. Proves the plug point carries a real
-  decoder end-to-end with zero extra dependencies.
+* ``decode_stub="wav"`` — a REAL codec for ``kind=audio``: payloads are
+  parsed as RIFF/WAVE with the stdlib ``wave`` module and featurized from
+  the actual PCM samples (per-window RMS); other kinds keep the
+  deterministic fake;
+* ``decode_stub="png"`` — a REAL codec for ``kind=image``: stdlib-only
+  PNG decode (chunk parse, zlib-inflate IDAT, full scanline unfiltering
+  incl. Paeth) featurized as per-tile luminance means;
+* ``decode_stub="codecs"`` — both real codecs at once (audio=WAV,
+  image=PNG, video still the deterministic fake). Malformed payloads in
+  any real mode yield features=NULL per row, never a failed job.
 
 Everything around the stub is real: ``mapInPandas`` with Arrow-batched
 binary columns, fixed output schemas, per-batch (not per-row) iteration,
@@ -26,6 +31,7 @@ budget, not row count).
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator, Literal
 
 import numpy as np
@@ -116,6 +122,131 @@ def decode_wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     ]
 
 
+def decode_png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image decode + featurize, stdlib-only: parse the PNG container
+    (8-byte signature, length-type-data-CRC chunks), zlib-inflate the
+    concatenated IDAT stream, reverse the per-scanline filters (None/Sub/
+    Up/Average/Paeth — the full RFC 2083 §6 set), convert to luminance and
+    emit per-tile means over a √dim×√dim grid, normalized to [0, 1].
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced — the shapes real training corpora store.
+    Palette/16-bit/interlaced raise ValueError (contained per row by
+    :func:`_decode_png_safe`). This is the second REAL codec at the plug
+    point (beside WAV) — PIL lands in the same slot with more formats."""
+    import struct
+    import zlib
+
+    data = payload or b""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # skip CRC
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type, _comp, _filt,
+             interlace) = struct.unpack(">IIBBBBB", chunk)
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth: {bit_depth}")
+            if color_type not in (0, 2, 4, 6):
+                raise ValueError(f"unsupported PNG color type: {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None or height is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+
+    # reverse scanline filters (RFC 2083 §6.2-6.6)
+    recon = bytearray(height * stride)
+    prev_off = -1
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        off = y * stride
+        if f == 0:  # None
+            recon[off : off + stride] = line
+        elif f == 1:  # Sub
+            for i in range(stride):
+                a = recon[off + i - channels] if i >= channels else 0
+                recon[off + i] = (line[i] + a) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                b = recon[prev_off + i] if y else 0
+                recon[off + i] = (line[i] + b) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = recon[off + i - channels] if i >= channels else 0
+                b = recon[prev_off + i] if y else 0
+                recon[off + i] = (line[i] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = recon[off + i - channels] if i >= channels else 0
+                b = recon[prev_off + i] if y else 0
+                c = recon[prev_off + i - channels] if (y and i >= channels) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                recon[off + i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type: {f}")
+        prev_off = off
+
+    px = np.frombuffer(bytes(recon), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    if channels >= 3:
+        gray = (
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        )
+    else:
+        gray = px[:, :, 0].astype(np.float64)
+    grid = max(1, int(math.isqrt(dim)))
+    feats = []
+    for ty in range(grid):
+        for tx in range(grid):
+            tile = gray[
+                ty * height // grid : max((ty + 1) * height // grid, ty * height // grid + 1),
+                tx * width // grid : max((tx + 1) * width // grid, tx * width // grid + 1),
+            ]
+            feats.append(float(tile.mean() / 255.0) if tile.size else 0.0)
+    feats += [0.0] * (dim - len(feats))
+    return feats[:dim]
+
+
+def _decode_png_safe(payload: bytes) -> list[float] | None:
+    """Per-row containment for the PNG codec (same contract as
+    :func:`_decode_wav_safe`): malformed/unsupported payloads yield
+    features=NULL instead of failing the batch job."""
+    import struct
+    import zlib
+
+    try:
+        return decode_png_features(payload)
+    except (ValueError, zlib.error, struct.error, IndexError, OSError):
+        return None
+
+
 def _decode_wav_safe(payload: bytes) -> list[float] | None:
     """Per-row containment for the real codec: a corrupt RIFF header, a
     truncated stream, or an unsupported PCM width (24-bit/float) yields
@@ -146,7 +277,9 @@ def probe_wav_meta(payload: bytes) -> tuple[int, int, int]:
 
 def extract_media_features(
     media: DataFrame,
-    decode_stub: Literal["deterministic", "raise", "wav"] = "deterministic",
+    decode_stub: Literal[
+        "deterministic", "raise", "wav", "png", "codecs"
+    ] = "deterministic",
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """Decode + featurize media rows via ``mapInPandas``.
@@ -165,9 +298,15 @@ def extract_media_features(
                     "this container; plug the codec into _fake_decode's slot"
                 )
             payloads = pdf["payload"]
-            if decode_stub == "wav":
+            if decode_stub in ("wav", "png", "codecs"):
+                real_audio = decode_stub in ("wav", "codecs")
+                real_image = decode_stub in ("png", "codecs")
                 feats = [
-                    _decode_wav_safe(b) if k == "audio" else _fake_decode(b)
+                    _decode_wav_safe(b)
+                    if (k == "audio" and real_audio)
+                    else _decode_png_safe(b)
+                    if (k == "image" and real_image)
+                    else _fake_decode(b)
                     for b, k in zip(payloads, pdf["kind"])
                 ]
             else:

@@ -54,6 +54,7 @@ AUDITED_QUERIES = [
     "q12_ngram_jaccard_pairs",
     "q13_minhash_bands",
     "q14_cosine_topk",
+    "q34_value_unit_link",
 ]
 
 
@@ -104,6 +105,7 @@ def main() -> None:
         linkable_mentions,
         norm_profiles,
         similarity_pairs,
+        similarity_pairs_prefix,
         tfidf_weights,
     )
 
@@ -129,6 +131,20 @@ def main() -> None:
         "\n## kg: tfidf similarity scoring (inverted-index join + salted agg)\n```"
     )
     out.extend(key_lines(formatted(scored.filter(F.col("score") >= 0.8))))
+    out.append("```")
+
+    scored_prefix = similarity_pairs_prefix(
+        weights, gate_floor=0.82, salt_partitions=16
+    )
+    out.append(
+        "\n## kg: tfidf similarity scoring, DEFAULT prefix-filtered path\n"
+        "\n(ppjoin candidate generation: window marks each norm's"
+        "\nhigh-weight prefix, postings join only against prefixes, then"
+        "\nexact rescoring over candidates — note the candidate join keys"
+        "\nand the same salted final aggregation; 15x the naive join at"
+        "\n60k norms, BENCH.md)\n```"
+    )
+    out.extend(key_lines(formatted(scored_prefix)))
     out.append("```")
 
     linking = build_linking_tables(mentions, abbrevs)

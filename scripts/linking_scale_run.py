@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from named_entity_algorithm_project_spark.datagen import generate_transcripts
+from named_entity_algorithm_project_spark.datagen import (
+    generate_transcripts,
+    planted_alias_pairs,
+    planted_hard_pairs,
+)
 from named_entity_algorithm_project_spark.operators.extract import (
     extract_combined,
     split_extraction,
@@ -54,6 +58,36 @@ def main():
         linking = build_linking_tables(mentions, abbrevs)
         n_edges = linking.edges.count()
         t_link = time.time() - t0
+
+        # planted-pair QUALITY under the engaged cap (VERDICT r3 item 2):
+        # of the generator's dash/fused alias pairs whose BOTH spellings
+        # exist in the extracted vocabulary, how many did the gated
+        # similarity join actually connect with a direct edge?
+        def pair_stats(pairs):
+            if not pairs:
+                return 0, 0
+            pairs_df = spark.createDataFrame(
+                pairs, "p1 string, p2 string"
+            ).select(
+                F.least("p1", "p2").alias("src"),
+                F.greatest("p1", "p2").alias("dst"),
+            )
+            norms = linking.norms.select("norm")
+            present = (
+                pairs_df.join(
+                    norms.withColumnRenamed("norm", "src"), "src", "left_semi"
+                ).join(
+                    norms.withColumnRenamed("norm", "dst"), "dst", "left_semi"
+                )
+            ).localCheckpoint(eager=True)
+            n_present = present.count()
+            n_hit = present.join(
+                linking.edges, ["src", "dst"], "left_semi"
+            ).count()
+            return n_present, n_hit
+
+        m_present, m_hit = pair_stats(planted_alias_pairs(scale))
+        h_present, h_hit = pair_stats(planted_hard_pairs(scale))
         print(
             json.dumps(
                 {
@@ -65,6 +99,13 @@ def main():
                     "base_threshold": linking.base_threshold,
                     "t_extract_s": round(t_extract, 1),
                     "t_link_s": round(t_link, 1),
+                    "planted_pairs_present": m_present,
+                    "planted_pairs_linked": m_hit,
+                    "planted_edge_recall": (
+                        round(m_hit / m_present, 4) if m_present else None
+                    ),
+                    "hard_pairs_present": h_present,
+                    "hard_pairs_linked": h_hit,
                 }
             ),
             flush=True,

@@ -240,6 +240,202 @@ def test_auto_blocking_recall(spark):
     assert recall >= 0.99, f"margin recall {recall:.4f} at cap {cap} (n={n})"
 
 
+def _random_vocab(seed=5, n_words=400, n_base=700, n_keep=600, n_var=200):
+    """Zipf-ish fixture shared by the cap-loss and prefix-filter tests:
+    short COMMON prefixes + long RARE cores, plus planted near-dup
+    variants (plural / dash) that score high."""
+    import random
+    import string
+
+    rng = random.Random(seed)
+    prefixes = ["pol", "met", "oxi", "ben", "ami", "chl", "flu", "nan"]
+    words = sorted(
+        {
+            rng.choice(prefixes)
+            + "".join(
+                rng.choice(string.ascii_lowercase)
+                for _ in range(rng.randint(8, 12))
+            )
+            for _ in range(n_words)
+        }
+    )
+    base = sorted(
+        {
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+            for _ in range(n_base)
+        }
+    )[:n_keep]
+    variants = []
+    for t in base[:n_var]:
+        variants.append(t + "s" if rng.random() < 0.5 else t.replace(" ", "-", 1))
+    return sorted(set(base) | set(variants))
+
+
+def test_prefix_filter_scores_match_naive(spark):
+    """similarity_pairs_prefix contracts against the naive join:
+
+    * UNCAPPED: every naive pair at/above the gate floor survives with the
+      identical score (the filter only prunes pairs that cannot reach the
+      floor);
+    * capped, cap_scope="all" (parity mode): identical to the naive capped
+      join's lower-bound scores;
+    * capped, cap_scope="candidates" (default): every emitted score is the
+      EXACT cosine (equals the uncapped naive score), and every naive
+      CAPPED pair at/above the floor is a superset member."""
+    from named_entity_algorithm_project_spark.functions.textnorm import (
+        adaptive_threshold_floor,
+    )
+    from named_entity_algorithm_project_spark.operators.linking import (
+        similarity_pairs_prefix,
+    )
+
+    norms = _random_vocab(seed=9)
+    n = len(norms)
+    floor = adaptive_threshold_floor(0.80)
+    df = spark.createDataFrame([(x,) for x in norms], "norm string")
+    weights = tfidf_weights(df, n).localCheckpoint(eager=True)
+    df_counts = weights.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    cap = max(int(0.05 * n), 1)
+
+    def collect(frame):
+        return {(r["a"], r["b"]): r["score"] for r in frame.collect()}
+
+    naive_exact = collect(similarity_pairs(weights, salt_partitions=4))
+    naive_capped = collect(
+        similarity_pairs(
+            weights, salt_partitions=4, candidate_max_df=cap,
+            df_counts=df_counts,
+        )
+    )
+
+    # --- uncapped: identical above the floor --------------------------------
+    pref = collect(
+        similarity_pairs_prefix(weights, gate_floor=floor, salt_partitions=4)
+    )
+    above = {k for k, s in naive_exact.items() if s >= floor}
+    assert len(above) >= 50, "fixture produced too few above-floor pairs"
+    assert above <= set(pref)
+    for k, s in pref.items():
+        assert s == pytest.approx(naive_exact[k], abs=1e-9), k
+    assert all(s >= floor - 1e-6 for s in pref.values())
+
+    # --- capped parity mode: naive capped scores term-for-term --------------
+    parity = collect(
+        similarity_pairs_prefix(
+            weights, gate_floor=floor, salt_partitions=4,
+            candidate_max_df=cap, df_counts=df_counts, cap_scope="all",
+        )
+    )
+    capped_above = {k for k, s in naive_capped.items() if s >= floor}
+    assert capped_above <= set(parity)
+    for k, s in parity.items():
+        assert s == pytest.approx(naive_capped[k], abs=1e-9), k
+
+    # --- capped default: exact scores, superset of naive capped -------------
+    exact_capped = collect(
+        similarity_pairs_prefix(
+            weights, gate_floor=floor, salt_partitions=4,
+            candidate_max_df=cap, df_counts=df_counts,
+        )
+    )
+    assert capped_above <= set(exact_capped), (
+        "cap_scope=candidates lost a naive-capped above-floor pair"
+    )
+    for k, s in exact_capped.items():
+        # every emitted score is the TRUE cosine, not the capped lower bound
+        assert s == pytest.approx(naive_exact[k], abs=1e-9), k
+
+
+def test_prefix_filter_gated_edges_identical(spark):
+    """End-to-end edge-set contracts across candidate strategies:
+    uncapped, prefix == naive exactly; capped, the parity mode == naive
+    exactly while the default exact-scoring mode is a superset."""
+    from named_entity_algorithm_project_spark.datagen import (
+        TRANSCRIPTS_SCHEMA,
+        generate_rows,
+    )
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_mentions,
+    )
+    from named_entity_algorithm_project_spark.operators.linking import (
+        build_linking_tables,
+    )
+
+    rows = generate_rows(n_convs=60, seed=17)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    mentions, abbrevs = extract_mentions(df)
+
+    def edges(**kw):
+        return {
+            (r["src"], r["dst"])
+            for r in build_linking_tables(mentions, abbrevs, **kw).edges.collect()
+        }
+
+    assert edges(tfidf_candidates="prefix") == edges(tfidf_candidates="all")
+    naive_capped = edges(tfidf_candidates="all", candidate_max_df=3)
+    assert edges(
+        tfidf_candidates="prefix_parity", candidate_max_df=3
+    ) == naive_capped
+    assert edges(tfidf_candidates="prefix", candidate_max_df=3) >= naive_capped
+
+
+def test_planted_pair_recall_under_cap(spark):
+    """Linking QUALITY under the df-cap, measured on ground truth the
+    generator itself plants (datagen.planted_alias_pairs: dash/fused
+    spellings of the same synthetic material). Of the planted pairs whose
+    both spellings were extracted, the capped similarity join must keep
+    (almost) every direct edge the exact join finds — the loss-contract
+    bound measured at score level (test_auto_blocking_recall) restated at
+    MERGE level on a corpus where the cap actually operates."""
+    from named_entity_algorithm_project_spark.datagen import (
+        generate_transcripts,
+        planted_alias_pairs,
+    )
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_mentions,
+    )
+    from named_entity_algorithm_project_spark.operators.linking import (
+        build_linking_tables,
+    )
+
+    vocab_scale = 60
+    transcripts = generate_transcripts(
+        spark, n_convs=800, seed=42, vocab_scale=vocab_scale
+    )
+    mentions, abbrevs = extract_mentions(transcripts)
+    mentions = mentions.localCheckpoint(eager=True)
+    planted = spark.createDataFrame(
+        planted_alias_pairs(vocab_scale), "p1 string, p2 string"
+    ).select(
+        F.least("p1", "p2").alias("src"), F.greatest("p1", "p2").alias("dst")
+    )
+
+    def edge_hits(**kw):
+        lt = build_linking_tables(mentions, abbrevs, **kw)
+        present = planted.join(
+            lt.norms.select(F.col("norm").alias("src")), "src", "left_semi"
+        ).join(
+            lt.norms.select(F.col("norm").alias("dst")), "dst", "left_semi"
+        )
+        n_present = present.count()
+        n_hit = present.join(lt.edges, ["src", "dst"], "left_semi").count()
+        return n_present, n_hit
+
+    n_present, exact_hits = edge_hits()
+    assert n_present >= 50, f"only {n_present} planted pairs present"
+    assert exact_hits > 0, "exact join never linked a planted pair"
+    # force the AUTO-style cap at this (sub-50k) vocabulary size
+    lt_probe = build_linking_tables(mentions, abbrevs)
+    cap = max(int(0.05 * lt_probe.n_norms), 100)
+    n_present2, capped_hits = edge_hits(candidate_max_df=cap)
+    assert n_present2 == n_present
+    recall_vs_exact = capped_hits / exact_hits
+    assert recall_vs_exact >= 0.95, (
+        f"cap lost planted pairs: {capped_hits}/{exact_hits} "
+        f"(present={n_present}, cap={cap})"
+    )
+
+
 def test_extraction_invariant_under_partitioning(spark):
     """Mentions are identical whatever the input partitioning (narrow map —
     no order- or partition-dependence)."""

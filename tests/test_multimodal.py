@@ -137,6 +137,149 @@ def test_wav_codec_end_to_end(spark):
     ]
 
 
+def _encode_png(pixels, color_type, filters):
+    """Minimal PNG encoder written against RFC 2083 (NOT the decoder under
+    test): pixels is an H×W×C uint8 nested list; `filters[y]` picks the
+    scanline filter type, applying the spec's forward transform so the
+    decoder must exercise every unfilter branch."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    c = len(pixels[0][0])
+    stride = w * c
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    flat = [
+        [pixels[y][x][k] for x in range(w) for k in range(c)] for y in range(h)
+    ]
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        raw.append(f)
+        for i in range(stride):
+            x = flat[y][i]
+            a = flat[y][i - c] if i >= c else 0
+            b = flat[y - 1][i] if y else 0
+            cc = flat[y - 1][i - c] if (y and i >= c) else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - (a + b) // 2
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = x - pred
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_all_filters_analytic(spark):
+    """Real stdlib PNG decode through every scanline filter type: a seeded
+    8×8 image encoded with filters cycling 0..4 must featurize to the
+    per-tile luminance means computed directly from the pixel array."""
+    import random
+
+    from named_entity_algorithm_project_spark.operators.multimodal import (
+        decode_png_features,
+    )
+
+    rng = random.Random(7)
+    h = w = 8
+    # RGB image, filters cycle through all five types across rows
+    px = [
+        [[rng.randrange(256) for _ in range(3)] for _ in range(w)]
+        for _ in range(h)
+    ]
+    payload = _encode_png(px, color_type=2, filters=[y % 5 for y in range(h)])
+    feats = decode_png_features(payload)
+    assert len(feats) == FEATURE_DIM
+    # analytic expectation: 4x4 grid of 2x2-tile luminance means / 255
+    lum = [
+        [0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2] for p in row] for row in px
+    ]
+    for ty in range(4):
+        for tx in range(4):
+            vals = [
+                lum[y][x]
+                for y in range(ty * 2, ty * 2 + 2)
+                for x in range(tx * 2, tx * 2 + 2)
+            ]
+            expect = sum(vals) / len(vals) / 255.0
+            assert abs(feats[ty * 4 + tx] - expect) < 1e-9
+
+    # grayscale: constant image -> every tile mean == value/255
+    gray = [[[200] for _ in range(w)] for _ in range(h)]
+    gfeats = decode_png_features(
+        _encode_png(gray, color_type=0, filters=[1] * h)
+    )
+    assert all(abs(f - 200 / 255.0) < 1e-9 for f in gfeats)
+
+    # RGBA: alpha ignored by luminance
+    rgba = [[[10, 20, 30, 255] for _ in range(w)] for _ in range(h)]
+    afeats = decode_png_features(
+        _encode_png(rgba, color_type=6, filters=[4] * h)
+    )
+    expect = (0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 255.0
+    assert all(abs(f - expect) < 1e-9 for f in afeats)
+
+
+def test_png_codec_end_to_end_and_containment(spark):
+    """kind=image decodes for real under decode_stub="png"/"codecs";
+    malformed image payloads yield features=NULL; audio still decodes
+    under "codecs"."""
+    import math
+
+    gray = [[[128] for _ in range(8)] for _ in range(8)]
+    good_png = _encode_png(gray, color_type=0, filters=[0] * 8)
+    good_wav = _make_wav(amplitude=0.5)
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(good_png), None),
+            (1, "image", bytearray(b"\x89PNG\r\n\x1a\ngarbage"), None),
+            (2, "audio", bytearray(good_wav), None),
+            (3, "video", bytearray(b"not video"), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decode_stub="codecs").collect()
+    }
+    assert all(abs(f - 128 / 255.0) < 1e-6 for f in rows[0]["features"])
+    assert rows[1]["features"] is None  # contained, job survived
+    assert all(
+        abs(f - 0.5 / math.sqrt(2)) < 0.02 for f in rows[2]["features"]
+    )
+    assert len(rows[3]["features"]) == FEATURE_DIM  # video: deterministic fake
+
+    # "png" mode: image real, audio falls back to the fake
+    rows_png = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decode_stub="png").collect()
+    }
+    assert all(abs(f - 128 / 255.0) < 1e-6 for f in rows_png[0]["features"])
+
+
 def test_wav_codec_tolerates_malformed_payloads(spark):
     """One corrupt/unsupported audio payload must not fail the whole batch
     job: the bad row yields features=NULL, every good row still decodes."""

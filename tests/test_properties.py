@@ -88,15 +88,29 @@ def test_adaptive_threshold_bounds(term, base):
 )
 @settings(max_examples=200, deadline=None)
 def test_merge_chain_resolution_terminal(merge_map):
+    """Reference semantics (app.py:1797-1816, pinned by the golden cycle
+    literals in test_golden_linking): identity entries are dropped before
+    resolution, every surviving source resolves, and on an acyclic map
+    every resolved target is terminal (not itself a source). With lowercase
+    1-4 char keys the lowercasing arm is the identity, so the cleaned map
+    is exactly the non-identity entries."""
     resolved = resolve_merge_chains(merge_map)
-    assert set(resolved) == set(merge_map)
+    cleaned = {s: t for s, t in merge_map.items() if s != t}
+    assert set(resolved) == set(cleaned)
     for source, target in resolved.items():
-        # a resolved target is terminal unless the chain is cyclic (then it
-        # self-resolves) or was depth-capped
-        if target in merge_map and target != source:
-            # must be part of a cycle reachable from source or depth-capped:
-            # re-resolving never changes an already-resolved self mapping
-            assert resolve_merge_chains({source: target})[source] in (
-                target,
-                resolved[source],
-            )
+        assert target  # never resolves to empty
+
+    def reaches_cycle(source):
+        seen = set()
+        cur = source
+        while cur in cleaned:
+            if cur in seen:
+                return True
+            seen.add(cur)
+            cur = cleaned[cur]
+        return False
+
+    for source, target in resolved.items():
+        if not reaches_cycle(source):
+            # acyclic chain: the resolved target is terminal
+            assert target not in cleaned, (source, target, cleaned)
