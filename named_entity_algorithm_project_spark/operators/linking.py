@@ -549,11 +549,40 @@ def build_linking_tables(
     """
     spark = mentions.sparkSession
     linkable = linkable_mentions(mentions)
-    profiles = norm_profiles(linkable).persist()
-    # ONE corpus scan total: the scalar stats derive from the norm-level
-    # profiles (n_rows = Σ freq, n_norms = count), and this job is also
-    # what populates the profiles cache — the previous separate agg over
-    # `linkable` re-scanned the full mentions table a second time.
+    # ONE corpus pass total for BOTH corpus-scale inputs: the norm profiles
+    # (from the mentions side) and the distinct abbreviation pairs (from
+    # the abbrevs side) ride a single fused groupBy — previously the
+    # profiles agg and the abbreviation distinct each re-scanned the full
+    # extraction bytes (two passes; at 10^12 turns each pass is the
+    # dominant I/O). The fused aggregate is vocabulary-scale, so every
+    # downstream derivation (profiles, abbr edges, scalar stats) works on
+    # the checkpointed small table.
+    m_rows = linkable.select(
+        F.lit("M").alias("kind"),
+        F.col("norm").alias("k1"),
+        F.upper(F.trim(F.col("entity_type"))).alias("k2"),
+    )
+    a_rows = abbrevs.select(
+        F.lit("A").alias("kind"),
+        F.trim(F.col("abbr")).alias("k1"),
+        F.trim(F.col("expansion")).alias("k2"),
+    ).filter((F.col("k1") != "") & (F.col("k2") != ""))
+    fused = (
+        m_rows.unionByName(a_rows)
+        .groupBy("kind", "k1", "k2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # identical to norm_profiles(linkable): freq = mention count per norm,
+    # types = sorted set of upper(trim(entity_type))
+    profiles = (
+        fused.filter(F.col("kind") == "M")
+        .groupBy(F.col("k1").alias("norm"))
+        .agg(
+            F.sum("cnt").alias("freq"),
+            F.array_sort(F.collect_set("k2")).alias("types"),
+        )
+    ).persist()
     stats = profiles.agg(
         F.coalesce(F.sum("freq"), F.lit(0)).alias("n_rows"),
         F.count(F.lit(1)).alias("n_norms"),
@@ -572,7 +601,11 @@ def build_linking_tables(
     protected = sorted(PROTECTED_TERMS)
 
     # --- abbreviation edges, gated on ORIGINAL type sets -------------------
-    abbr_raw = abbreviation_edges(abbrevs)
+    # same rows abbreviation_edges(abbrevs) would produce, but derived from
+    # the fused single-pass aggregate (already trimmed/non-empty/distinct)
+    abbr_raw = fused.filter(F.col("kind") == "A").select(
+        F.col("k1").alias("src"), F.col("k2").alias("dst")
+    )
     prof_src = profiles.select(
         F.col("norm").alias("src"), F.col("types").alias("types_src")
     )
