@@ -3,8 +3,9 @@
 Training-data pipelines carry images/audio/video as ``binary`` columns with
 a metadata struct; the engine's job is the Spark-side plumbing — schema,
 partitioning, Arrow batch shape, UDF signatures — while the actual codec
-calls are pluggable. The image/audio libraries are not in this container, so
-the decode step is STUBBED two ways:
+calls are pluggable. The heavy media libraries (PIL/torchaudio/ffmpeg) are
+not in this container, so the plug point ships stdlib-only REAL codecs for
+one common format per kind plus two stub modes:
 
 * ``decode_stub="deterministic"`` — a seeded fake decoder (payload bytes →
   stable pseudo-features) so the full plumbing is testable end-to-end;
@@ -17,9 +18,12 @@ the decode step is STUBBED two ways:
 * ``decode_stub="png"`` — a REAL codec for ``kind=image``: stdlib-only
   PNG decode (chunk parse, zlib-inflate IDAT, full scanline unfiltering
   incl. Paeth) featurized as per-tile luminance means;
-* ``decode_stub="codecs"`` — both real codecs at once (audio=WAV,
-  image=PNG, video still the deterministic fake). Malformed payloads in
-  any real mode yield features=NULL per row, never a failed job.
+* ``decode_stub="avi"`` — a REAL codec for ``kind=video``: stdlib-only
+  RIFF/AVI parse (avih + BITMAPINFOHEADER validation, uncompressed 24bpp
+  ``##db`` DIB frames) featurized as per-sampled-frame luminance means;
+* ``decode_stub="codecs"`` — all three real codecs at once (audio=WAV,
+  image=PNG, video=AVI). Malformed payloads in any real mode yield
+  features=NULL per row, never a failed job.
 
 Everything around the stub is real: ``mapInPandas`` with Arrow-batched
 binary columns, fixed output schemas, per-batch (not per-row) iteration,
@@ -234,6 +238,108 @@ def decode_png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats[:dim]
 
 
+def decode_avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real video decode + featurize, stdlib-only: parse the RIFF/AVI
+    container (hdrl: `avih` main header + `strl`/`strf` BITMAPINFOHEADER;
+    movi: `##db` uncompressed DIB frames — 24bpp BI_RGB, BGR bottom-up
+    rows padded to 4 bytes, exactly BMP pixel data without the BMP
+    header). Emits ``dim`` per-sampled-frame mean-luminance features over
+    evenly spaced frames, normalized to [0, 1] (zero-padded past the
+    frame count).
+
+    Compressed streams (biCompression != 0) and non-24bpp raise
+    ValueError — contained per row by :func:`_decode_avi_safe`; ffmpeg
+    lands in the same slot with real codecs. Completes the real-codec
+    triple (WAV audio, PNG image, AVI video) at the plug point."""
+    import struct
+
+    data = payload or b""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    width = height = None
+    bit_count = compression = None
+
+    def walk(start, end):
+        """Yield (fourcc, list_type_or_None, data_start, data_end)."""
+        pos = start
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc in (b"LIST", b"RIFF"):
+                yield (fourcc, data[body_start : body_start + 4],
+                       body_start + 4, body_end)
+            else:
+                yield (fourcc, None, body_start, body_end)
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    frames: list[tuple[int, int]] = []
+
+    def scan(start, end):
+        nonlocal width, height, bit_count, compression
+        for fourcc, ltype, s, e in walk(start, end):
+            if fourcc in (b"LIST", b"RIFF"):
+                scan(s, e)
+            elif fourcc == b"avih":
+                if e - s >= 40:
+                    width = struct.unpack("<I", data[s + 32 : s + 36])[0]
+                    height = struct.unpack("<I", data[s + 36 : s + 40])[0]
+            elif fourcc == b"strf" and bit_count is None and e - s >= 20:
+                # BITMAPINFOHEADER: biSize, biWidth, biHeight, biPlanes,
+                # biBitCount(14), biCompression(16)
+                bit_count = struct.unpack("<H", data[s + 14 : s + 16])[0]
+                compression = struct.unpack("<I", data[s + 16 : s + 20])[0]
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                frames.append((s, e))
+
+    scan(12, len(data))
+    if not width or not height:
+        raise ValueError("missing AVI avih header")
+    if compression not in (None, 0) or (
+        bit_count is not None and bit_count != 24
+    ):
+        raise ValueError(
+            f"unsupported AVI stream (biBitCount={bit_count}, "
+            f"biCompression={compression}) — only uncompressed 24bpp BI_RGB"
+        )
+    if not frames:
+        raise ValueError("no video frames in movi list")
+
+    row_stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    expected = row_stride * height
+    # evenly sample up to dim frames
+    n = len(frames)
+    take = [frames[(i * n) // min(n, dim)] for i in range(min(n, dim))]
+    feats = []
+    for s, e in take:
+        if e - s < expected:
+            raise ValueError("truncated AVI frame (or compressed stream)")
+        buf = np.frombuffer(data[s : s + expected], dtype=np.uint8).reshape(
+            height, row_stride
+        )[:, : width * 3].reshape(height, width, 3)
+        # DIB rows are bottom-up BGR; means are order-invariant so only the
+        # channel order matters for luminance
+        lum = (
+            0.114 * buf[:, :, 0] + 0.587 * buf[:, :, 1] + 0.299 * buf[:, :, 2]
+        )
+        feats.append(float(lum.mean() / 255.0))
+    feats += [0.0] * (dim - len(feats))
+    return feats[:dim]
+
+
+def _decode_avi_safe(payload: bytes) -> list[float] | None:
+    """Per-row containment for the AVI codec (same contract as the WAV/PNG
+    arms): malformed/compressed payloads yield features=NULL."""
+    import struct
+
+    try:
+        return decode_avi_features(payload)
+    except (ValueError, struct.error, IndexError, OSError):
+        return None
+
+
 def _decode_png_safe(payload: bytes) -> list[float] | None:
     """Per-row containment for the PNG codec (same contract as
     :func:`_decode_wav_safe`): malformed/unsupported payloads yield
@@ -278,7 +384,7 @@ def probe_wav_meta(payload: bytes) -> tuple[int, int, int]:
 def extract_media_features(
     media: DataFrame,
     decode_stub: Literal[
-        "deterministic", "raise", "wav", "png", "codecs"
+        "deterministic", "raise", "wav", "png", "avi", "codecs"
     ] = "deterministic",
     batch_size_hint: int = 256,
 ) -> DataFrame:
@@ -298,14 +404,17 @@ def extract_media_features(
                     "this container; plug the codec into _fake_decode's slot"
                 )
             payloads = pdf["payload"]
-            if decode_stub in ("wav", "png", "codecs"):
+            if decode_stub in ("wav", "png", "avi", "codecs"):
                 real_audio = decode_stub in ("wav", "codecs")
                 real_image = decode_stub in ("png", "codecs")
+                real_video = decode_stub in ("avi", "codecs")
                 feats = [
                     _decode_wav_safe(b)
                     if (k == "audio" and real_audio)
                     else _decode_png_safe(b)
                     if (k == "image" and real_image)
+                    else _decode_avi_safe(b)
+                    if (k == "video" and real_video)
                     else _fake_decode(b)
                     for b, k in zip(payloads, pdf["kind"])
                 ]

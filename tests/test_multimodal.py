@@ -270,7 +270,8 @@ def test_png_codec_end_to_end_and_containment(spark):
     assert all(
         abs(f - 0.5 / math.sqrt(2)) < 0.02 for f in rows[2]["features"]
     )
-    assert len(rows[3]["features"]) == FEATURE_DIM  # video: deterministic fake
+    # video is ALSO real under "codecs": non-AVI bytes are contained
+    assert rows[3]["features"] is None
 
     # "png" mode: image real, audio falls back to the fake
     rows_png = {
@@ -278,6 +279,87 @@ def test_png_codec_end_to_end_and_containment(spark):
         for r in extract_media_features(media, decode_stub="png").collect()
     }
     assert all(abs(f - 128 / 255.0) < 1e-6 for f in rows_png[0]["features"])
+
+
+def _encode_avi(frames_rgb, width, height):
+    """Minimal uncompressed-AVI encoder written against the RIFF/AVI spec
+    (NOT the decoder under test): 24bpp BI_RGB `00db` frames, BGR
+    bottom-up rows padded to 4 bytes."""
+    import struct
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    row_stride = (width * 3 + 3) & ~3
+    frame_chunks = b""
+    for frame in frames_rgb:  # frame: rows of [r,g,b] top-down
+        body = bytearray()
+        for row in reversed(frame):  # DIB stores rows bottom-up
+            for r, g, b in row:
+                body += bytes((b, g, r))
+            body += b"\x00" * (row_stride - width * 3)
+        frame_chunks += chunk(b"00db", bytes(body))
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        33333, 0, 0, 0, len(frames_rgb), 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+                       1, 30, 0, len(frames_rgb), 0, 0, 0, 0, 0, width, height)
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       row_stride * height, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", frame_chunks)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + __import__("struct").pack("<I", len(body)) + body
+
+
+def test_avi_codec_analytic(spark):
+    """Real stdlib AVI decode: solid-color frames featurize to their exact
+    luminance means; compressed/malformed payloads are contained."""
+    from named_entity_algorithm_project_spark.operators.multimodal import (
+        decode_avi_features,
+    )
+
+    w, h = 6, 4  # row stride 20 -> exercises the 4-byte row padding
+    solid = lambda rgb: [[list(rgb)] * w for _ in range(h)]
+    frames = [solid((255, 0, 0)), solid((0, 255, 0)), solid((0, 0, 255)),
+              solid((10, 20, 30))]
+    payload = _encode_avi(frames, w, h)
+    feats = decode_avi_features(payload)
+    assert len(feats) == FEATURE_DIM
+    expect = [0.299 * 255, 0.587 * 255, 0.114 * 255,
+              0.299 * 10 + 0.587 * 20 + 0.114 * 30]
+    for i, e in enumerate(expect):
+        assert abs(feats[i] - e / 255.0) < 1e-9
+    assert all(f == 0.0 for f in feats[4:])  # zero-padded past frame count
+
+    # end-to-end through mapInPandas, all three real codecs in one mode
+    gray_png = _encode_png([[[128]] * 8 for _ in range(8)], 0, [0] * 8)
+    media = spark.createDataFrame(
+        [
+            (0, "video", bytearray(payload), None),
+            (1, "video", bytearray(b"RIFF\x04\x00\x00\x00AVI "), None),
+            (2, "video", bytearray(b"not a riff"), None),
+            (3, "image", bytearray(gray_png), None),
+            (4, "audio", bytearray(_make_wav(amplitude=0.0)), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decode_stub="codecs").collect()
+    }
+    assert abs(rows[0]["features"][0] - 0.299) < 1e-6
+    assert rows[1]["features"] is None  # headerless AVI contained
+    assert rows[2]["features"] is None  # garbage contained
+    assert abs(rows[3]["features"][0] - 128 / 255.0) < 1e-6
+    assert all(f == 0.0 for f in rows[4]["features"])
 
 
 def test_wav_codec_tolerates_malformed_payloads(spark):
