@@ -1200,3 +1200,38 @@ def q34_value_unit_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         "linked_unit",
         "measurement",
     )
+
+
+@_register(
+    "q35_media_plumbing",
+    """
+    SELECT doc_id AS media_id,
+           list_extract(['image', 'audio', 'video'],
+                        1 + CAST(doc_id % 3 AS INT)) AS kind,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def q35_media_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing under the driver gate: documents'
+    text re-encoded as UTF-8 binary payloads flows through the REAL
+    ``extract_media_features`` mapInPandas operator (Arrow binary batches,
+    per-batch iteration, md5 content hashing) — DuckDB replicates n_bytes
+    and content_hash exactly because md5(VARCHAR) hashes the same UTF-8
+    bytes Spark's encode() produces. Features stay deterministic-stub in
+    this query (DuckDB cannot md5 raw digest bytes); the real codecs are
+    gated by tests/test_multimodal's analytic WAV/PNG/AVI expectations."""
+    from .operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), 3) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_media_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "content_hash")
