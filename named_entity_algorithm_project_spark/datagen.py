@@ -147,6 +147,35 @@ def planted_hard_pairs(vocab_scale: int) -> List[Tuple[str, str]]:
     ]
 
 
+def planted_pair_edge_stats(
+    spark: SparkSession,
+    norms: DataFrame,
+    edges: DataFrame,
+    pairs: List[Tuple[str, str]],
+) -> Tuple[int, int]:
+    """(n_present, n_linked) for a ground-truth pair list against a linking
+    result: how many pairs have BOTH norms in the extracted vocabulary, and
+    how many of those are a direct (least, greatest) edge. Shared by
+    scripts/linking_scale_run.py, scripts/prefix_bench.py and the recall
+    test so the 'planted recall' definition cannot drift between them."""
+    from pyspark.sql import functions as F
+
+    if not pairs:
+        return 0, 0
+    pairs_df = spark.createDataFrame(pairs, "p1 string, p2 string").select(
+        F.least("p1", "p2").alias("src"), F.greatest("p1", "p2").alias("dst")
+    )
+    norms = norms.select("norm")
+    present = (
+        pairs_df.join(
+            norms.withColumnRenamed("norm", "src"), "src", "left_semi"
+        ).join(norms.withColumnRenamed("norm", "dst"), "dst", "left_semi")
+    ).localCheckpoint(eager=True)
+    n_present = present.count()
+    n_hit = present.join(edges, ["src", "dst"], "left_semi").count()
+    return n_present, n_hit
+
+
 def _make_turn_text(rng: random.Random, vocab_scale: int = 1) -> str:
     materials, alias_families, abbrev_seeds = _pools(vocab_scale)
     parts: List[str] = []

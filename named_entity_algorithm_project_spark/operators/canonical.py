@@ -203,10 +203,14 @@ def apply_user_overrides(
                 )
                 .withColumn(
                     "canonical_display",
+                    # reference quirk preserved: when a merge map is set,
+                    # apply_canonical_merge_map rewrites Canonical =
+                    # upper(canonical) for EVERY non-skip row, matched or
+                    # not (app.py:1843-1844) — an unmatched row's acronym
+                    # display is clobbered too
                     F.when(
-                        F.col("m_target").isNotNull()
-                        & ~F.upper(F.col("entity_type")).isin(*SKIP_TYPES),
-                        F.upper(F.col("m_target")),
+                        ~F.upper(F.col("entity_type")).isin(*SKIP_TYPES),
+                        F.upper(F.col("canonical")),
                     ).otherwise(F.col("canonical_display")),
                 )
                 .drop("m_source", "m_target")

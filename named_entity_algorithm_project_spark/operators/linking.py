@@ -188,6 +188,7 @@ def similarity_pairs_prefix(
     candidate_max_df: Optional[int] = None,
     df_counts: Optional[DataFrame] = None,
     cap_scope: str = "candidates",
+    weights_materialized: bool = False,
 ) -> DataFrame:
     """Prefix-filtered similarity join (AllPairs/ppjoin family — Bayardo
     et al., "Scaling Up All Pairs Similarity Search", WWW'07): a fraction
@@ -231,8 +232,10 @@ def similarity_pairs_prefix(
     """
     # the weights feed several consumers below (prefix marking, the
     # candidate join, score sides) — materialize once instead of
-    # re-running the TF-IDF explode/agg/join DAG per consumer
-    weights = weights.localCheckpoint(eager=True)
+    # re-running the TF-IDF explode/agg/join DAG per consumer (skipped
+    # when the caller already checkpointed them, e.g. to derive df_counts)
+    if not weights_materialized:
+        weights = weights.localCheckpoint(eager=True)
     cand_weights = weights
     if candidate_max_df is not None and df_counts is not None:
         keep = df_counts.filter(F.col("df") <= candidate_max_df).select("ngram")
@@ -678,6 +681,16 @@ def build_linking_tables(
         )
     else:
         weights = tfidf_weights(profiles.select("norm"), n_norms)
+        weights_materialized = False
+        if (
+            candidate_max_df is not None
+            and tfidf_candidates in ("prefix", "prefix_parity")
+        ):
+            # the df-cap keep-list AND the prefix join both consume the
+            # weights — checkpoint once here so the TF-IDF explode/agg DAG
+            # doesn't execute twice on the capped path
+            weights = weights.localCheckpoint(eager=True)
+            weights_materialized = True
         tf_df_counts = (
             weights.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
             if candidate_max_df is not None
@@ -699,6 +712,7 @@ def build_linking_tables(
                 cap_scope=(
                     "candidates" if tfidf_candidates == "prefix" else "all"
                 ),
+                weights_materialized=weights_materialized,
             )
         else:
             scored = similarity_pairs(

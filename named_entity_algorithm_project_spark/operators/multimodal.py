@@ -276,6 +276,7 @@ def decode_avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
             pos = body_start + size + (size & 1)  # chunks are word-aligned
 
     frames: list[tuple[int, int]] = []
+    last_stream_type = [None]  # fccType of the most recent strh chunk
 
     def scan(start, end):
         nonlocal width, height, bit_count, compression
@@ -286,11 +287,21 @@ def decode_avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
                 if e - s >= 40:
                     width = struct.unpack("<I", data[s + 32 : s + 36])[0]
                     height = struct.unpack("<I", data[s + 36 : s + 40])[0]
+            elif fourcc == b"strh" and e - s >= 4:
+                last_stream_type[0] = data[s : s + 4]
             elif fourcc == b"strf" and bit_count is None and e - s >= 20:
-                # BITMAPINFOHEADER: biSize, biWidth, biHeight, biPlanes,
-                # biBitCount(14), biCompression(16)
-                bit_count = struct.unpack("<H", data[s + 14 : s + 16])[0]
-                compression = struct.unpack("<I", data[s + 16 : s + 20])[0]
+                # take ONLY the VIDEO stream's format block: stream order
+                # in hdrl is arbitrary, and an audio strl first would put
+                # a WAVEFORMATEX here whose bytes misparse as
+                # biBitCount/biCompression (the preceding strh's fccType
+                # says which stream this strf describes)
+                if last_stream_type[0] == b"vids":
+                    # BITMAPINFOHEADER: biSize, biWidth, biHeight,
+                    # biPlanes, biBitCount(14), biCompression(16)
+                    bit_count = struct.unpack("<H", data[s + 14 : s + 16])[0]
+                    compression = struct.unpack(
+                        "<I", data[s + 16 : s + 20]
+                    )[0]
             elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
                 frames.append((s, e))
 

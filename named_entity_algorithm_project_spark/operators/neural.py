@@ -511,11 +511,19 @@ def spans_from_predictions(
                 continue
             doc_s = chunk_start + rel_s
             doc_e = chunk_start + rel_e
+            # The prev-edge bound is STRICT (doc_e < prev_end): a span that
+            # coincides exactly with the overlap window touches a cut edge
+            # in BOTH chunks and each neighbor fully covers it — inclusive
+            # bounds on both sides would suppress both copies and lose the
+            # entity entirely. Strictness on the prev side makes the LATER
+            # chunk the designated keeper (the earlier chunk's copy ends at
+            # its own edge and is suppressed by the inclusive next-edge
+            # rule below).
             if (
                 prev_overlaps
                 and rel_s == 0
                 and prev_start <= doc_s
-                and doc_e <= prev_end
+                and doc_e < prev_end
             ):
                 continue
             if (

@@ -27,6 +27,7 @@ from named_entity_algorithm_project_spark.datagen import (
     generate_transcripts,
     planted_alias_pairs,
     planted_hard_pairs,
+    planted_pair_edge_stats,
 )
 from named_entity_algorithm_project_spark.operators.extract import (
     extract_combined,
@@ -63,31 +64,12 @@ def main():
         # of the generator's dash/fused alias pairs whose BOTH spellings
         # exist in the extracted vocabulary, how many did the gated
         # similarity join actually connect with a direct edge?
-        def pair_stats(pairs):
-            if not pairs:
-                return 0, 0
-            pairs_df = spark.createDataFrame(
-                pairs, "p1 string, p2 string"
-            ).select(
-                F.least("p1", "p2").alias("src"),
-                F.greatest("p1", "p2").alias("dst"),
-            )
-            norms = linking.norms.select("norm")
-            present = (
-                pairs_df.join(
-                    norms.withColumnRenamed("norm", "src"), "src", "left_semi"
-                ).join(
-                    norms.withColumnRenamed("norm", "dst"), "dst", "left_semi"
-                )
-            ).localCheckpoint(eager=True)
-            n_present = present.count()
-            n_hit = present.join(
-                linking.edges, ["src", "dst"], "left_semi"
-            ).count()
-            return n_present, n_hit
-
-        m_present, m_hit = pair_stats(planted_alias_pairs(scale))
-        h_present, h_hit = pair_stats(planted_hard_pairs(scale))
+        m_present, m_hit = planted_pair_edge_stats(
+            spark, linking.norms, linking.edges, planted_alias_pairs(scale)
+        )
+        h_present, h_hit = planted_pair_edge_stats(
+            spark, linking.norms, linking.edges, planted_hard_pairs(scale)
+        )
         print(
             json.dumps(
                 {

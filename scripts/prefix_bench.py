@@ -30,12 +30,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from named_entity_algorithm_project_spark.datagen import (
     generate_transcripts,
     planted_alias_pairs,
     planted_hard_pairs,
+    planted_pair_edge_stats,
 )
 from named_entity_algorithm_project_spark.operators.extract import (
     extract_combined,
@@ -61,23 +60,6 @@ def main():
     extracted = extract_combined(transcripts).localCheckpoint(eager=True)
     mentions, abbrevs = split_extraction(extracted)
 
-    def pair_stats(linking, pairs):
-        if not pairs:
-            return 0, 0
-        pairs_df = spark.createDataFrame(pairs, "p1 string, p2 string").select(
-            F.least("p1", "p2").alias("src"),
-            F.greatest("p1", "p2").alias("dst"),
-        )
-        norms = linking.norms.select("norm")
-        present = (
-            pairs_df.join(
-                norms.withColumnRenamed("norm", "src"), "src", "left_semi"
-            ).join(norms.withColumnRenamed("norm", "dst"), "dst", "left_semi")
-        ).localCheckpoint(eager=True)
-        n_present = present.count()
-        n_hit = present.join(linking.edges, ["src", "dst"], "left_semi").count()
-        return n_present, n_hit
-
     results = {}
     edge_sets = {}
     for strategy in ("all", "prefix_parity", "prefix"):
@@ -92,8 +74,14 @@ def main():
         digest = hashlib.md5(
             "\n".join(f"{a}\t{b}" for a, b in edge_rows).encode()
         ).hexdigest()
-        mp, mh = pair_stats(linking, planted_alias_pairs(vocab_scale))
-        hp, hh = pair_stats(linking, planted_hard_pairs(vocab_scale))
+        mp, mh = planted_pair_edge_stats(
+            spark, linking.norms, linking.edges,
+            planted_alias_pairs(vocab_scale),
+        )
+        hp, hh = planted_pair_edge_stats(
+            spark, linking.norms, linking.edges,
+            planted_hard_pairs(vocab_scale),
+        )
         edge_sets[strategy] = set(edge_rows)
         results[strategy] = {"wall_s": round(wall, 1)}
         print(

@@ -223,6 +223,10 @@ def test_golden_merge_chain_apply_case_insensitive(spark):
     rows = [
         ("Bandgap", "PROP_NAME", "Bandgap", "BANDGAP"),
         ("bandgap", "PROP_NAME", "bandgap", "BANDGAP"),
+        # unmatched row with an acronym display: the reference rewrites
+        # Canonical = upper(canonical) for EVERY non-skip row once a merge
+        # map is set (app.py:1843-1844), clobbering the acronym form
+        ("organic solar cell", "ORGANIC", "organic solar cell", "OPV"),
         ("12 %", "PROP_VALUE", "12 %", "12 %"),
     ]
     mentions = spark.createDataFrame(
@@ -240,5 +244,7 @@ def test_golden_merge_chain_apply_case_insensitive(spark):
     assert got == {
         ("Bandgap", "band gap energy", "BAND GAP ENERGY"),
         ("bandgap", "band gap energy", "BAND GAP ENERGY"),
+        # unmatched non-value row: canonical untouched, display rewritten
+        ("organic solar cell", "organic solar cell", "ORGANIC SOLAR CELL"),
         ("12 %", "12 %", "12 %"),  # value rows bypass the merge map
     }

@@ -390,6 +390,7 @@ def test_planted_pair_recall_under_cap(spark):
     from named_entity_algorithm_project_spark.datagen import (
         generate_transcripts,
         planted_alias_pairs,
+        planted_pair_edge_stats,
     )
     from named_entity_algorithm_project_spark.operators.extract import (
         extract_mentions,
@@ -404,22 +405,11 @@ def test_planted_pair_recall_under_cap(spark):
     )
     mentions, abbrevs = extract_mentions(transcripts)
     mentions = mentions.localCheckpoint(eager=True)
-    planted = spark.createDataFrame(
-        planted_alias_pairs(vocab_scale), "p1 string, p2 string"
-    ).select(
-        F.least("p1", "p2").alias("src"), F.greatest("p1", "p2").alias("dst")
-    )
+    planted = planted_alias_pairs(vocab_scale)
 
     def edge_hits(**kw):
         lt = build_linking_tables(mentions, abbrevs, **kw)
-        present = planted.join(
-            lt.norms.select(F.col("norm").alias("src")), "src", "left_semi"
-        ).join(
-            lt.norms.select(F.col("norm").alias("dst")), "dst", "left_semi"
-        )
-        n_present = present.count()
-        n_hit = present.join(lt.edges, ["src", "dst"], "left_semi").count()
-        return n_present, n_hit
+        return planted_pair_edge_stats(spark, lt.norms, lt.edges, planted)
 
     n_present, exact_hits = edge_hits()
     assert n_present >= 50, f"only {n_present} planted pairs present"

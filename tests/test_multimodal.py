@@ -281,10 +281,12 @@ def test_png_codec_end_to_end_and_containment(spark):
     assert all(abs(f - 128 / 255.0) < 1e-6 for f in rows_png[0]["features"])
 
 
-def _encode_avi(frames_rgb, width, height):
+def _encode_avi(frames_rgb, width, height, audio_stream_first=False):
     """Minimal uncompressed-AVI encoder written against the RIFF/AVI spec
     (NOT the decoder under test): 24bpp BI_RGB `00db` frames, BGR
-    bottom-up rows padded to 4 bytes."""
+    bottom-up rows padded to 4 bytes. ``audio_stream_first`` prepends an
+    `auds` strl (WAVEFORMATEX strf) before the video strl — legal stream
+    ordering a correct parser must not misread as the video format."""
     import struct
 
     def chunk(fourcc, body):
@@ -312,11 +314,21 @@ def _encode_avi(frames_rgb, width, height):
                        1, 30, 0, len(frames_rgb), 0, 0, 0, 0, 0, width, height)
     strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                        row_stride * height, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    strls = b""
+    if audio_stream_first:
+        a_strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x01\x00\x00\x00", 0, 0, 0,
+            0, 1, 8000, 0, 8000, 0, 0, 0, 1, 0, 0, 0
+        )
+        # WAVEFORMATEX: PCM, 1ch, 8kHz, 16-bit — bytes at offsets 14-20
+        # deliberately differ from any valid BITMAPINFOHEADER
+        a_strf = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+        strls += lst(b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf))
+    strls += lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     movi = lst(b"movi", frame_chunks)
     body = b"AVI " + hdrl + movi
-    return b"RIFF" + __import__("struct").pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def test_avi_codec_analytic(spark):
@@ -338,6 +350,13 @@ def test_avi_codec_analytic(spark):
     for i, e in enumerate(expect):
         assert abs(feats[i] - e / 255.0) < 1e-9
     assert all(f == 0.0 for f in feats[4:])  # zero-padded past frame count
+
+    # legal stream ordering: an audio strl BEFORE the video strl must not
+    # have its WAVEFORMATEX misread as the video BITMAPINFOHEADER
+    feats_af = decode_avi_features(
+        _encode_avi(frames, w, h, audio_stream_first=True)
+    )
+    assert feats_af == feats
 
     # end-to-end through mapInPandas, all three real codecs in one mode
     gray_png = _encode_png([[[128]] * 8 for _ in range(8)], 0, [0] * 8)

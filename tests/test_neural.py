@@ -415,6 +415,36 @@ def test_edge_suppression_keeps_straddling_long_entity():
     ]
 
 
+def test_edge_suppression_overlap_coincident_entity_survives_once():
+    """An entity that coincides EXACTLY with the overlap window touches a
+    cut edge in both chunks and is fully covered by both neighbors —
+    inclusive suppression on both sides would delete it from the document.
+    The strict prev-edge bound keeps exactly one copy (the later chunk's)."""
+    from named_entity_algorithm_project_spark.operators.neural import (
+        spans_from_predictions,
+    )
+
+    text = "aaaaaaaaaaaa bbbbbbb cccccccccc"
+    #       0           13      21
+    chunks = [(0, text[0:20]), (12, text[12:31])]  # overlap [12, 20)
+    span = {"entity_group": "X", "score": 0.9, "word": text[13:20]}
+    preds = [
+        [dict(span, start=13, end=20)],  # ends at chunk 0's edge
+        [dict(span, start=1, end=8)],    # same doc range [13,20) in chunk 1
+    ]
+    spans = spans_from_predictions(text, chunks, preds)
+    assert [(s, e) for s, e, _, _, _ in spans] == [(13, 20)]  # kept ONCE
+
+    # the truly edge-coincident case from the review repro: doc span
+    # exactly [12, 20) == the whole overlap window
+    preds2 = [
+        [dict(span, start=12, end=20, word=text[12:20])],
+        [dict(span, start=0, end=8, word=text[12:20])],
+    ]
+    spans2 = spans_from_predictions(text, chunks, preds2)
+    assert [(s, e) for s, e, _, _, _ in spans2] == [(12, 20)]
+
+
 def test_chunk_text_slow_tokenizer_offsets_fallback():
     """A slow (non-fast) HF tokenizer tokenizes fine but raises on
     return_offsets_mapping — chunk_text must take the word-fallback path
