@@ -193,6 +193,34 @@ def test_golden_protected_abbreviation_gate(spark):
     assert linked == {"opv": "opv", "zzmaterialzz": "opv"}
 
 
+def test_golden_abbreviation_type_union_propagation(spark):
+    """app.py:3151-3156: an accepted abbreviation link UNIONS its
+    endpoints' type sets, and the widened sets feed the similarity gate.
+    A="abcdefgh" (POLYMER) and B="ABCDEFGH" (ORGANIC) are case variants
+    (cosine exactly 1.0, compact length 8 -> floor 0.82) but their clean
+    type sets are disjoint -> NO merge on their own. Adding an
+    abbreviation link B->C where C carries {ORGANIC, POLYMER} (two
+    mentions) passes the abbr gate on ORIGINAL types (ORGANIC
+    intersects), propagates POLYMER into B's effective set, and the A-B
+    similarity edge now clears the type gate — one component {A, B, C},
+    canonical = C ("zz yy", highest freq 2, app.py:3189-3194). Removing
+    the abbreviation row must leave all three separate."""
+    A, B, C = "abcdefgh", "ABCDEFGH", "zz yy"
+    base_mentions = [
+        (A, "POLYMER"),
+        (B, "ORGANIC"),
+        (C, "ORGANIC"),
+        (C, "POLYMER"),
+    ]
+    without = _canonical_map(spark, base_mentions)
+    assert without == {A: A, B: B, C: C}
+
+    with_abbr = _canonical_map(
+        spark, base_mentions, abbrev_rows=[(B, C)]
+    )
+    assert with_abbr == {A: C, B: C, C: C}
+
+
 def test_golden_merge_chain_cycle_quirk():
     """app.py:1797-1816 hand trace for {a->b, B->c, c->A}: cleaned keys
     lowercase to {a->b, b->c, c->A}; resolving "a" walks b->c->A and
