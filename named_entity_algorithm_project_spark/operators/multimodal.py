@@ -67,6 +67,13 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+#: pixel budget for the stdlib PNG/AVI decoders: a corrupt or hostile
+#: header can claim dimensions up to 2^32 (and a PNG IDAT can be a
+#: decompression bomb) — allocating width*height buffers before any
+#: sanity check would OOM the executor python worker, which per-row
+#: exception containment cannot catch. 64 MPix ≈ a 256 MB RGBA frame.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -170,10 +177,15 @@ def decode_png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
             break
     if width is None or height is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if width * height > MAX_DECODE_PIXELS or not width or not height:
+        raise ValueError(f"PNG dimensions out of budget: {width}x{height}")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) < height * (stride + 1):
+    # bounded inflate: a decompression-bomb IDAT must not allocate past
+    # the size the (already-validated) dimensions call for
+    expected_raw = height * (stride + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected_raw + 1)
+    if len(raw) < expected_raw:
         raise ValueError("truncated PNG pixel data")
 
     # reverse scanline filters (RFC 2083 §6.2-6.6)
@@ -308,6 +320,8 @@ def decode_avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     scan(12, len(data))
     if not width or not height:
         raise ValueError("missing AVI avih header")
+    if width * height > MAX_DECODE_PIXELS:
+        raise ValueError(f"AVI dimensions out of budget: {width}x{height}")
     if compression not in (None, 0) or (
         bit_count is not None and bit_count != 24
     ):

@@ -381,6 +381,65 @@ def test_avi_codec_analytic(spark):
     assert all(f == 0.0 for f in rows[4]["features"])
 
 
+def test_decode_pixel_budget_and_bomb_containment():
+    """Hostile headers (dimensions up to 2^32) and decompression-bomb
+    IDATs must fail/bound BEFORE allocating width*height buffers — an
+    executor OOM is the one failure per-row exception containment cannot
+    catch."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from named_entity_algorithm_project_spark.operators.multimodal import (
+        _decode_avi_safe,
+        _decode_png_safe,
+        decode_png_features,
+    )
+
+    def png_with_dims(w, h):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+            + chunk(b"IEND", b"")
+        )
+
+    # 4-gigapixel claim: rejected by the budget, contained to NULL
+    with _pytest.raises(ValueError, match="out of budget"):
+        decode_png_features(png_with_dims(65536, 65536))
+    assert _decode_png_safe(png_with_dims(65536, 65536)) is None
+
+    # decompression bomb: 8x8 dims but an IDAT inflating to ~10 MB — the
+    # bounded inflate reads only the declared dims' worth and succeeds
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (10 * 1024 * 1024)))
+        + chunk(b"IEND", b"")
+    )
+    feats = decode_png_features(bomb)
+    assert feats == [0.0] * FEATURE_DIM  # zero pixels, decoded cheaply
+
+    # AVI with a patched 65536x65536 avih: budget rejection, contained
+    avi = bytearray(
+        _encode_avi([[[list((1, 2, 3))] * 4 for _ in range(4)]], 4, 4)
+    )
+    pos = avi.find(b"avih") + 8
+    struct.pack_into("<II", avi, pos + 32, 65536, 65536)
+    assert _decode_avi_safe(bytes(avi)) is None
+
+
 def test_wav_codec_tolerates_malformed_payloads(spark):
     """One corrupt/unsupported audio payload must not fail the whole batch
     job: the bad row yields features=NULL, every good row still decodes."""
