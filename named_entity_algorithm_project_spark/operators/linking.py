@@ -420,20 +420,6 @@ def semantic_lsh_tier(n_norms: int) -> Tuple[int, int]:
     return (10, 6)
 
 
-def abbreviation_edges(abbrevs: DataFrame) -> DataFrame:
-    """Distinct (src=abbr_norm, dst=expansion_norm) pairs from the per-turn
-    abbreviation registry (app.py:3027-3043). Gating happens in
-    :func:`build_linking_tables` once type sets are known."""
-    return (
-        abbrevs.select(
-            F.trim(F.col("abbr")).alias("src"),
-            F.trim(F.col("expansion")).alias("dst"),
-        )
-        .filter((F.col("src") != "") & (F.col("dst") != ""))
-        .distinct()
-    )
-
-
 def domain_alias_edges(all_nodes: DataFrame) -> DataFrame:
     """Substring-alias edges (app.py:2976-2982, 3157-3164): a term containing
     a known domain substring links to its short alias. Protected endpoints
@@ -604,8 +590,9 @@ def build_linking_tables(
     protected = sorted(PROTECTED_TERMS)
 
     # --- abbreviation edges, gated on ORIGINAL type sets -------------------
-    # same rows abbreviation_edges(abbrevs) would produce, but derived from
-    # the fused single-pass aggregate (already trimmed/non-empty/distinct)
+    # distinct (src=abbr_norm, dst=expansion_norm) pairs from the per-turn
+    # abbreviation registry (app.py:3027-3043), derived from the fused
+    # single-pass aggregate (already trimmed/non-empty/distinct)
     abbr_raw = fused.filter(F.col("kind") == "A").select(
         F.col("k1").alias("src"), F.col("k2").alias("dst")
     )
