@@ -81,6 +81,10 @@ class PipelineConfig:
     # "semantic_exact" (L4 embedding cosine, O(N²) — small vocab), or
     # "semantic_lsh" (L4 banded-LSH blocked — the scale path)
     score_source: str = "tfidf"
+    # tfidf candidate strategy: "prefix" (default — ppjoin prefix filter,
+    # exact-scored under the df-cap), "prefix_parity" (cap lower-bound
+    # parity with the naive join), or "all" (naive inverted-index join)
+    tfidf_candidates: str = "prefix"
     # semantic_lsh recall dials (candidate prob at cosine c is
     # 1-(1-p^band_bits)^bands with p = 1-acos(c)/pi): more bands = more
     # recall & more candidates; more band_bits = tighter blocks. None =
@@ -210,6 +214,7 @@ def run_pipeline(
         score_source=config.score_source,
         embed_bands=config.embed_bands,
         embed_band_bits=config.embed_band_bits,
+        tfidf_candidates=config.tfidf_candidates,
     )
 
     _mark("stage_b_linking")
