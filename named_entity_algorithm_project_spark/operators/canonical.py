@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 from ..dictionaries import ACRONYM_SET
 from .linking import SKIP_TYPES
 
+#: the reference's apply_canonical_merge_map skip set (app.py:1824) is
+#: WIDER than the linking skip set: it also bypasses bare VALUE rows.
+#: Currently latent here — the detector clamps entity types to
+#: ENTITY_TYPES, which excludes VALUE — but the merge-map/display-rewrite
+#: path mirrors the reference's 3-type set so a VALUE-typed row arriving
+#: from user input or an external mention table behaves identically.
+MERGE_SKIP_TYPES = ("VALUE",) + tuple(SKIP_TYPES)
+
 
 def pick_canonicals(components: DataFrame, norms: DataFrame) -> DataFrame:
     """(norm, canonical) for every node.
@@ -194,10 +202,12 @@ def apply_user_overrides(
                 .withColumn(
                     "canonical",
                     # value-type rows bypass the merge map exactly like the
-                    # reference's skip_types mask (app.py:2324-2326)
+                    # reference's skip_types mask — the 3-type set of
+                    # apply_canonical_merge_map (app.py:1824), which also
+                    # skips bare VALUE rows
                     F.when(
                         F.col("m_target").isNotNull()
-                        & ~F.upper(F.col("entity_type")).isin(*SKIP_TYPES),
+                        & ~F.upper(F.col("entity_type")).isin(*MERGE_SKIP_TYPES),
                         F.col("m_target"),
                     ).otherwise(F.col("canonical")),
                 )
@@ -209,7 +219,7 @@ def apply_user_overrides(
                     # not (app.py:1843-1844) — an unmatched row's acronym
                     # display is clobbered too
                     F.when(
-                        ~F.upper(F.col("entity_type")).isin(*SKIP_TYPES),
+                        ~F.upper(F.col("entity_type")).isin(*MERGE_SKIP_TYPES),
                         F.upper(F.col("canonical")),
                     ).otherwise(F.col("canonical_display")),
                 )

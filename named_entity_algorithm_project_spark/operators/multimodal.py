@@ -25,6 +25,14 @@ one common format per kind plus two stub modes:
   image=PNG, video=AVI). Malformed payloads in any real mode yield
   features=NULL per row, never a failed job.
 
+Every output row carries a ``decode_status`` column — ``"ok"``,
+``"unsupported"`` (legitimate payload in a shape this stdlib decoder
+deliberately does not handle: compressed AVI, 16-bit/palette PNG, float
+WAV), or ``"malformed"`` (corrupt/truncated/hostile bytes) — so a
+90%-NULL ``features`` column at pipeline scale is diagnosable: it either
+means garbage data or means "plug in PIL/ffmpeg", and the status says
+which without re-decoding anything.
+
 Everything around the stub is real: ``mapInPandas`` with Arrow-batched
 binary columns, fixed output schemas, per-batch (not per-row) iteration,
 and partition sizing guidance (binary payloads blow past
@@ -74,6 +82,25 @@ FEATURE_DIM = 16
 #: exception containment cannot catch. 64 MPix ≈ a 256 MB RGBA frame.
 MAX_DECODE_PIXELS = 64 * 1024 * 1024
 
+#: CPU budget for the two PNG filters whose left-neighbor dependency
+#: forces a per-byte Python pass (Average/Paeth). None/Sub/Up unfilter
+#: fully vectorized in numpy, so MAX_DECODE_PIXELS alone bounds them; a
+#: 64 MPix Paeth-filtered image would still cost hundreds of millions of
+#: Python-level iterations — minutes of one executor worker. Past this
+#: many sequential-filtered bytes the payload is "unsupported" (a real
+#: image a production deployment decodes with PIL in the same slot), not
+#: decoded slowly.
+MAX_SEQ_FILTER_BYTES = 8 * 1024 * 1024
+
+
+class UnsupportedMediaError(ValueError):
+    """A syntactically-plausible payload in a shape the stdlib codecs
+    deliberately do not handle (compressed AVI, 16-bit/palette/interlaced
+    PNG, 24-bit/float WAV, over-budget dimensions). Distinguished from
+    plain ValueError (malformed bytes) so ``decode_status`` can tell a
+    user whether NULL features mean garbage data or a missing codec."""
+
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -84,6 +111,8 @@ FEATURES_SCHEMA = T.StructType(
         # error is contained per row — one bad payload must not fail the
         # whole batch job)
         T.StructField("features", T.ArrayType(T.FloatType()), True),
+        # ok | unsupported | malformed — why features is (not) NULL
+        T.StructField("decode_status", T.StringType(), False),
     ]
 )
 
@@ -124,7 +153,7 @@ def decode_wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     elif width == 4:
         samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2**31
     else:
-        raise ValueError(f"unsupported WAV sample width: {width}")
+        raise UnsupportedMediaError(f"unsupported WAV sample width: {width}")
     if samples.size == 0:
         return [0.0] * dim
     return [
@@ -166,19 +195,27 @@ def decode_png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
             (width, height, bit_depth, color_type, _comp, _filt,
              interlace) = struct.unpack(">IIBBBBB", chunk)
             if bit_depth != 8:
-                raise ValueError(f"unsupported PNG bit depth: {bit_depth}")
+                raise UnsupportedMediaError(
+                    f"unsupported PNG bit depth: {bit_depth}"
+                )
             if color_type not in (0, 2, 4, 6):
-                raise ValueError(f"unsupported PNG color type: {color_type}")
+                raise UnsupportedMediaError(
+                    f"unsupported PNG color type: {color_type}"
+                )
             if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
+                raise UnsupportedMediaError("interlaced PNG unsupported")
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
             break
     if width is None or height is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    if width * height > MAX_DECODE_PIXELS or not width or not height:
-        raise ValueError(f"PNG dimensions out of budget: {width}x{height}")
+    if not width or not height:
+        raise ValueError("zero PNG dimensions")
+    if width * height > MAX_DECODE_PIXELS:
+        raise UnsupportedMediaError(
+            f"PNG dimensions out of budget: {width}x{height}"
+        )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     stride = width * channels
     # bounded inflate: a decompression-bomb IDAT must not allocate past
@@ -188,33 +225,59 @@ def decode_png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     if len(raw) < expected_raw:
         raise ValueError("truncated PNG pixel data")
 
-    # reverse scanline filters (RFC 2083 §6.2-6.6)
-    recon = bytearray(height * stride)
-    prev_off = -1
+    # reverse scanline filters (RFC 2083 §6.2-6.6). None/Sub/Up vectorize
+    # fully (Sub is a per-channel-lane cumulative sum — mod 256 distributes
+    # over addition; Up is uint8 wraparound addition with the previous
+    # reconstructed row). Average/Paeth read the LEFT neighbor of the row
+    # being built, an inherently sequential dependency — those rows run a
+    # per-byte Python pass bounded by MAX_SEQ_FILTER_BYTES so a hostile
+    # all-Paeth 64 MPix image cannot stall an executor worker for minutes.
+    raw_rows = np.frombuffer(
+        raw[: height * (stride + 1)], dtype=np.uint8
+    ).reshape(height, stride + 1)
+    filters = raw_rows[:, 0]
+    lines = raw_rows[:, 1:]
+    if np.any(filters > 4):
+        raise ValueError(
+            f"unknown PNG filter type: {int(filters[filters > 4][0])}"
+        )
+    seq_rows = int(np.count_nonzero((filters == 3) | (filters == 4)))
+    if seq_rows * stride > MAX_SEQ_FILTER_BYTES:
+        raise UnsupportedMediaError(
+            f"PNG Average/Paeth filter workload ({seq_rows} rows x "
+            f"{stride} B) exceeds the stdlib decoder's sequential budget"
+        )
+
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    zero_row = [0] * stride
     for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        off = y * stride
+        f = int(filters[y])
+        line = lines[y]
         if f == 0:  # None
-            recon[off : off + stride] = line
-        elif f == 1:  # Sub
+            recon[y] = line
+        elif f == 1:  # Sub: cumsum along each channel lane, mod 256
+            recon[y] = (
+                line.astype(np.int64).reshape(width, channels).cumsum(axis=0)
+                & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            recon[y] = line + recon[y - 1] if y else line
+        elif f == 3:  # Average (sequential: left neighbor of current row)
+            ln = line.tolist()
+            pv = recon[y - 1].tolist() if y else zero_row
+            out = [0] * stride
             for i in range(stride):
-                a = recon[off + i - channels] if i >= channels else 0
-                recon[off + i] = (line[i] + a) & 0xFF
-        elif f == 2:  # Up
+                a = out[i - channels] if i >= channels else 0
+                out[i] = (ln[i] + (a + pv[i]) // 2) & 0xFF
+            recon[y] = out
+        else:  # Paeth (sequential: left + upper-left of current row)
+            ln = line.tolist()
+            pv = recon[y - 1].tolist() if y else zero_row
+            out = [0] * stride
             for i in range(stride):
-                b = recon[prev_off + i] if y else 0
-                recon[off + i] = (line[i] + b) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = recon[off + i - channels] if i >= channels else 0
-                b = recon[prev_off + i] if y else 0
-                recon[off + i] = (line[i] + (a + b) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = recon[off + i - channels] if i >= channels else 0
-                b = recon[prev_off + i] if y else 0
-                c = recon[prev_off + i - channels] if (y and i >= channels) else 0
+                a = out[i - channels] if i >= channels else 0
+                b = pv[i]
+                c = pv[i - channels] if i >= channels else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 if pa <= pb and pa <= pc:
@@ -223,14 +286,10 @@ def decode_png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
                     pred = b
                 else:
                     pred = c
-                recon[off + i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type: {f}")
-        prev_off = off
+                out[i] = (ln[i] + pred) & 0xFF
+            recon[y] = out
 
-    px = np.frombuffer(bytes(recon), dtype=np.uint8).reshape(
-        height, width, channels
-    )
+    px = recon.reshape(height, width, channels)
     if channels >= 3:
         gray = (
             0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
@@ -271,43 +330,42 @@ def decode_avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
     width = height = None
     bit_count = compression = None
+    frames: list[tuple[int, int]] = []
+    last_stream_type = None  # fccType of the most recent strh chunk
 
-    def walk(start, end):
-        """Yield (fourcc, list_type_or_None, data_start, data_end)."""
-        pos = start
+    # Iterative in-order RIFF walk with an explicit stack: a crafted
+    # payload of ~24 KB of nested LISTs would blow Python's recursion
+    # limit on a recursive scan, and RecursionError escaping per-row
+    # containment fails the whole Spark job. Each descent suspends the
+    # remaining siblings as a (resume_pos, end) frame, so traversal order
+    # is exactly the recursive DFS; stack depth is bounded by nesting
+    # depth <= len(data)/8 tuples of two ints.
+    stack: list[tuple[int, int]] = [(12, len(data))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             fourcc = data[pos : pos + 4]
             (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-            body_start = pos + 8
-            body_end = min(body_start + size, end)
+            s = pos + 8
+            e = min(s + size, end)
+            next_pos = s + size + (size & 1)  # chunks are word-aligned
             if fourcc in (b"LIST", b"RIFF"):
-                yield (fourcc, data[body_start : body_start + 4],
-                       body_start + 4, body_end)
-            else:
-                yield (fourcc, None, body_start, body_end)
-            pos = body_start + size + (size & 1)  # chunks are word-aligned
-
-    frames: list[tuple[int, int]] = []
-    last_stream_type = [None]  # fccType of the most recent strh chunk
-
-    def scan(start, end):
-        nonlocal width, height, bit_count, compression
-        for fourcc, ltype, s, e in walk(start, end):
-            if fourcc in (b"LIST", b"RIFF"):
-                scan(s, e)
-            elif fourcc == b"avih":
+                stack.append((next_pos, end))  # siblings resume later
+                pos, end = s + 4, e  # descend past the 4-byte list type
+                continue
+            if fourcc == b"avih":
                 if e - s >= 40:
                     width = struct.unpack("<I", data[s + 32 : s + 36])[0]
                     height = struct.unpack("<I", data[s + 36 : s + 40])[0]
             elif fourcc == b"strh" and e - s >= 4:
-                last_stream_type[0] = data[s : s + 4]
+                last_stream_type = data[s : s + 4]
             elif fourcc == b"strf" and bit_count is None and e - s >= 20:
                 # take ONLY the VIDEO stream's format block: stream order
                 # in hdrl is arbitrary, and an audio strl first would put
                 # a WAVEFORMATEX here whose bytes misparse as
                 # biBitCount/biCompression (the preceding strh's fccType
                 # says which stream this strf describes)
-                if last_stream_type[0] == b"vids":
+                if last_stream_type == b"vids":
                     # BITMAPINFOHEADER: biSize, biWidth, biHeight,
                     # biPlanes, biBitCount(14), biCompression(16)
                     bit_count = struct.unpack("<H", data[s + 14 : s + 16])[0]
@@ -316,16 +374,17 @@ def decode_avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
                     )[0]
             elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
                 frames.append((s, e))
-
-    scan(12, len(data))
+            pos = next_pos
     if not width or not height:
         raise ValueError("missing AVI avih header")
     if width * height > MAX_DECODE_PIXELS:
-        raise ValueError(f"AVI dimensions out of budget: {width}x{height}")
+        raise UnsupportedMediaError(
+            f"AVI dimensions out of budget: {width}x{height}"
+        )
     if compression not in (None, 0) or (
         bit_count is not None and bit_count != 24
     ):
-        raise ValueError(
+        raise UnsupportedMediaError(
             f"unsupported AVI stream (biBitCount={bit_count}, "
             f"biCompression={compression}) — only uncompressed 24bpp BI_RGB"
         )
@@ -354,41 +413,50 @@ def decode_avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats[:dim]
 
 
-def _decode_avi_safe(payload: bytes) -> list[float] | None:
+def _decode_avi_safe(payload: bytes) -> tuple[list[float] | None, str]:
     """Per-row containment for the AVI codec (same contract as the WAV/PNG
-    arms): malformed/compressed payloads yield features=NULL."""
+    arms): (features, "ok") on success; (None, "unsupported") for
+    compressed/non-24bpp/over-budget streams; (None, "malformed") for
+    corrupt bytes. RecursionError stays in the caught tuple as defense in
+    depth even though the RIFF walk is iterative now."""
     import struct
 
     try:
-        return decode_avi_features(payload)
-    except (ValueError, struct.error, IndexError, OSError):
-        return None
+        return decode_avi_features(payload), "ok"
+    except UnsupportedMediaError:
+        return None, "unsupported"
+    except (ValueError, struct.error, IndexError, OSError, RecursionError):
+        return None, "malformed"
 
 
-def _decode_png_safe(payload: bytes) -> list[float] | None:
+def _decode_png_safe(payload: bytes) -> tuple[list[float] | None, str]:
     """Per-row containment for the PNG codec (same contract as
     :func:`_decode_wav_safe`): malformed/unsupported payloads yield
-    features=NULL instead of failing the batch job."""
+    features=NULL + a status instead of failing the batch job."""
     import struct
     import zlib
 
     try:
-        return decode_png_features(payload)
+        return decode_png_features(payload), "ok"
+    except UnsupportedMediaError:
+        return None, "unsupported"
     except (ValueError, zlib.error, struct.error, IndexError, OSError):
-        return None
+        return None, "malformed"
 
 
-def _decode_wav_safe(payload: bytes) -> list[float] | None:
-    """Per-row containment for the real codec: a corrupt RIFF header, a
-    truncated stream, or an unsupported PCM width (24-bit/float) yields
-    features=NULL instead of failing the whole Spark job — the other stub
-    modes tolerate arbitrary bytes, and the real decoder must too."""
+def _decode_wav_safe(payload: bytes) -> tuple[list[float] | None, str]:
+    """Per-row containment for the real codec: a corrupt RIFF header or a
+    truncated stream yields (None, "malformed"); an unsupported PCM width
+    (24-bit/float) yields (None, "unsupported") — the other stub modes
+    tolerate arbitrary bytes, and the real decoder must too."""
     import wave
 
     try:
-        return decode_wav_features(payload)
+        return decode_wav_features(payload), "ok"
+    except UnsupportedMediaError:
+        return None, "unsupported"
     except (wave.Error, ValueError, EOFError, OSError):
-        return None
+        return None, "malformed"
 
 
 def probe_wav_meta(payload: bytes) -> tuple[int, int, int]:
@@ -433,18 +501,21 @@ def extract_media_features(
                 real_audio = decode_stub in ("wav", "codecs")
                 real_image = decode_stub in ("png", "codecs")
                 real_video = decode_stub in ("avi", "codecs")
-                feats = [
+                pairs = [
                     _decode_wav_safe(b)
                     if (k == "audio" and real_audio)
                     else _decode_png_safe(b)
                     if (k == "image" and real_image)
                     else _decode_avi_safe(b)
                     if (k == "video" and real_video)
-                    else _fake_decode(b)
+                    else (_fake_decode(b), "ok")
                     for b, k in zip(payloads, pdf["kind"])
                 ]
+                feats = [p[0] for p in pairs]
+                status = [p[1] for p in pairs]
             else:
                 feats = [_fake_decode(b) for b in payloads]
+                status = ["ok"] * len(feats)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -454,6 +525,7 @@ def extract_media_features(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
                     "features": pd.Series(feats, index=pdf.index),
+                    "decode_status": pd.Series(status, index=pdf.index),
                 }
             )
 

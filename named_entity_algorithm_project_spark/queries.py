@@ -1209,7 +1209,8 @@ def q34_value_unit_link(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_extract(['image', 'audio', 'video'],
                         1 + CAST(doc_id % 3 AS INT)) AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
-           md5(text) AS content_hash
+           md5(text) AS content_hash,
+           'ok' AS decode_status
     FROM documents
     """,
 )
@@ -1234,4 +1235,6 @@ def q35_media_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     feats = extract_media_features(media)
-    return feats.select("media_id", "kind", "n_bytes", "content_hash")
+    return feats.select(
+        "media_id", "kind", "n_bytes", "content_hash", "decode_status"
+    )
