@@ -71,6 +71,14 @@ from ..functions.textnorm import adaptive_threshold_col, adaptive_threshold_floo
 
 SKIP_TYPES = ("PROP_VALUE", "MATERIAL_AMOUNT")
 
+#: Under cap_scope="candidates" a heavy df-cap can strip so much squared
+#: mass that the Cauchy–Schwarz suffix rule yields an EMPTY prefix; this
+#: guarantees the top-MIN_PREFIX_RANK sub-cap grams (rarest, most
+#: identity-carrying) always join the prefix so case/morphology variants
+#: stay reachable. Covered by tests/test_linking.py's planted-pair recall
+#: test, which imports this name.
+MIN_PREFIX_RANK = 4
+
 
 @dataclass
 class LinkingTables:
@@ -267,7 +275,7 @@ def similarity_pairs_prefix(
         # (case/morphology variants of the same surface form) stay
         # reachable.
         rank = F.row_number().over(order_win)
-        keep_prefix = keep_prefix | (rank <= F.lit(4))
+        keep_prefix = keep_prefix | (rank <= F.lit(MIN_PREFIX_RANK))
     marked = marked.withColumn("_keep", keep_prefix)
     prefix = marked.filter(F.col("_keep")).select("norm", "ngram")
 
@@ -281,6 +289,57 @@ def similarity_pairs_prefix(
             F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
         )
         .distinct()
+    )
+
+    # AllPairs length/maxweight filter (Bayardo §3.1, adapted to weighted
+    # cosine): before paying the per-gram score join, drop candidates whose
+    # vector-level stats bound the dot product under the gate. For the
+    # shared-gram sum,  dot ≤ maxw(b)·Σ_shared wa ≤ maxw(b)·‖a‖₁  and
+    # symmetrically, and  dot ≤ |shared|·maxw(a)·maxw(b) ≤
+    # min(n_a,n_b)·maxw(a)·maxw(b)  — both exact inequalities, so pruning
+    # on their min keeps the gated edge set IDENTICAL (the binary-cosine
+    # √(n_a/n_b) count-ratio bound is NOT sound for TF-IDF weights and is
+    # deliberately not used). Stats come from the SCORE vectors (full
+    # vectors under cap_scope="candidates") because the emitted score is
+    # the full cosine.
+    stats = score_weights.groupBy("norm").agg(
+        F.max("w").alias("_maxw"),
+        F.sum("w").alias("_l1"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cand = (
+        cand.join(
+            stats.select(
+                F.col("norm").alias("a"),
+                F.col("_maxw").alias("_maxw_a"),
+                F.col("_l1").alias("_l1_a"),
+                F.col("_n").alias("_n_a"),
+            ),
+            "a",
+        )
+        .join(
+            stats.select(
+                F.col("norm").alias("b"),
+                F.col("_maxw").alias("_maxw_b"),
+                F.col("_l1").alias("_l1_b"),
+                F.col("_n").alias("_n_b"),
+            ),
+            "b",
+        )
+        .filter(
+            F.least(
+                F.col("_maxw_b") * F.col("_l1_a"),
+                F.col("_maxw_a") * F.col("_l1_b"),
+                F.col("_maxw_a")
+                * F.col("_maxw_b")
+                * F.least("_n_a", "_n_b").cast("double"),
+            )
+            # extra 1e-9 margin: the bound dominates the score in EXACT
+            # arithmetic; the margin makes the float64-computed comparison
+            # safe too, so the gated edge set stays md5-identical
+            >= F.lit(t_eff - 1e-9)
+        )
+        .select("a", "b")
     )
 
     left = score_weights.select(

@@ -396,8 +396,16 @@ def test_planted_pair_recall_under_cap(spark):
         extract_mentions,
     )
     from named_entity_algorithm_project_spark.operators.linking import (
+        MIN_PREFIX_RANK,
         build_linking_tables,
     )
+
+    # the recall floor below is what the min-prefix guard buys: with a
+    # guaranteed prefix of the top-MIN_PREFIX_RANK sub-cap grams, planted
+    # case/morphology variants stay candidates even when the df-cap strips
+    # most of their squared mass (an empty guaranteed prefix collapses
+    # capped recall to ~0 on this fixture)
+    assert MIN_PREFIX_RANK >= 1
 
     vocab_scale = 60
     transcripts = generate_transcripts(
