@@ -47,20 +47,20 @@ def cosine_scores(
     query: Sequence[float],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """(id, cos_sim) against a literal query vector (ships in the plan —
-    an implicit broadcast)."""
+    an implicit broadcast). ``round_digits`` rounds the score BEFORE any
+    downstream ordering — cross-engine comparisons (the DuckDB driver
+    gate) need ties decided on the rounded value, not last-ulp float
+    noise."""
     qv = F.array(*[F.lit(float(x)) for x in query])
-    return vectors.select(
-        F.col(id_col),
-        (
-            _dot(F.col(vec_col), qv)
-            / (
-                F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-                * F.sqrt(_dot(qv, qv))
-            )
-        ).alias("cos_sim"),
+    score = _dot(F.col(vec_col), qv) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.sqrt(_dot(qv, qv))
     )
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return vectors.select(F.col(id_col), score.alias("cos_sim"))
 
 
 def cosine_topk(
@@ -136,10 +136,13 @@ def lsh_topk(
     probe_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """ANN: restrict to buckets within ``probe_hamming`` bits of the query's
     signature, exact cosine re-rank inside. Recall/cost dial = n_planes x
-    probe_hamming."""
+    probe_hamming; ``probe_hamming == n_planes`` covers every signature, so
+    recall is exactly 1.0 by construction (how the driver gate oracles this
+    path against DuckDB's exact top-k, q36)."""
     import itertools
 
     # query signature computed driver-side with the same numpy path — no
@@ -158,7 +161,7 @@ def lsh_topk(
             probes.append(flipped)
     candidates = indexed.filter(F.col("bucket").isin(probes))
     return (
-        cosine_scores(candidates, query, id_col, vec_col)
+        cosine_scores(candidates, query, id_col, vec_col, round_digits)
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )

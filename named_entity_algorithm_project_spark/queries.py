@@ -493,10 +493,10 @@ def q13_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_cosine_topk",
     """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, round(list_cosine_similarity(embedding, qv), 6) AS cos_sim
+    SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS cos_sim
     FROM embeddings, q
     WHERE vec_id <> 0
-    ORDER BY round(list_cosine_similarity(embedding, qv), 6) DESC, vec_id ASC
+    ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) DESC, vec_id ASC
     LIMIT 10
     """,
 )
@@ -545,7 +545,7 @@ def q14_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label
       FROM embeddings, q
       WHERE vec_id <> 0
-      ORDER BY round(list_cosine_similarity(embedding, qv), 6) DESC, vec_id ASC
+      ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) DESC, vec_id ASC
       LIMIT 50
     )
     SELECT label, count(*) AS n FROM topk GROUP BY label
@@ -1238,3 +1238,114 @@ def q35_media_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", "n_bytes", "content_hash", "decode_status"
     )
+
+
+@_register(
+    "q36_lsh_ann_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 1
+    ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q36_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH ANN path under the driver gate: random-hyperplane signature
+    buckets (one vectorized numpy matmul per Arrow batch) + bucket-probe +
+    exact cosine re-rank, via the REAL ``rp_lsh_buckets``/``lsh_topk``
+    operators. ``probe_hamming == n_planes`` covers every one of the 2^6
+    signatures, so recall is exactly 1.0 BY CONSTRUCTION and DuckDB's exact
+    top-k is a sound oracle — what's under test is the bucketed plumbing
+    (signature UDF, probe expansion, in-bucket re-rank), not approximation
+    quality (tests/test_similarity measures recall under partial probing at
+    dim=768). Query = vec_id 1's embedding (one scalar head(), not a
+    collect loop)."""
+    from .operators.similarity import lsh_topk, rp_lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 1).select("embedding").head()
+    query = [float(x) for x in qrow["embedding"]]
+    n_planes = 6
+    indexed = rp_lsh_buckets(
+        emb.filter(F.col("vec_id") != 1), dim=len(query), n_planes=n_planes
+    )
+    return lsh_topk(
+        indexed,
+        query,
+        k=10,
+        n_planes=n_planes,
+        probe_hamming=n_planes,  # full signature cover -> provable recall 1.0
+        round_digits=6,
+    )
+
+
+@_register(
+    "q37_streaming_replay",
+    f"""
+    SELECT entity_type,
+           CAST(n_mentions AS BIGINT) AS n_mentions,
+           CAST(n_unique AS BIGINT) AS n_unique
+    FROM read_parquet('{_KG_EXPECTED["q19_kg_mentions"]}')
+    """,
+)
+def q37_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingestion under the driver gate: the pinned
+    transcripts corpus split into TWO parquet batch files, drained through
+    ``incremental_extract`` (foreachBatch, dynamic-partition-overwrite data
+    write, lineage marker as the commit point), then the WHOLE stream
+    REPLAYED from a fresh checkpoint — every batch's marker already exists,
+    so the replay is skipped batch-for-batch and the final mention counts
+    are identical to the batch pipeline's. Oracle: the same pandas-reference
+    expectation as q19 — streaming == batch == reference, and the replay is
+    invisible (idempotence). The tiny per-type result is localCheckpoint'd
+    so the temp stream directory can be removed before the driver collects."""
+    import shutil
+    import tempfile
+
+    from .oracle_expected import KG_N_CONVS, KG_SEED
+    from .datagen import generate_rows
+    from .datagen import TRANSCRIPTS_SCHEMA
+    from .operators.extract import split_extraction
+    from .streaming.incremental import incremental_extract
+
+    work = tempfile.mkdtemp(prefix="q37_stream_")
+    input_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    try:
+        rows = generate_rows(n_convs=KG_N_CONVS, seed=KG_SEED)
+        half = [r for r in rows if int(r[0].split("-")[1]) % 2 == 0]
+        rest = [r for r in rows if int(r[0].split("-")[1]) % 2 == 1]
+        for batch in (half, rest):
+            spark.createDataFrame(batch, TRANSCRIPTS_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(input_dir)
+
+        # drain: one file per micro-batch -> batches 0 and 1 committed
+        q = incremental_extract(
+            spark, input_dir, out_dir, max_files_per_trigger=1
+        )
+        q.awaitTermination(300)
+
+        # full replay from a FRESH checkpoint: the file source re-delivers
+        # every file, and every batch skips on its existing lineage marker
+        shutil.rmtree(os.path.join(out_dir, "_stream_checkpoint"))
+        q2 = incremental_extract(spark, input_dir, out_dir)
+        q2.awaitTermination(300)
+
+        streamed = spark.read.parquet(
+            os.path.join(out_dir, "stage_a", "extraction_stream")
+        )
+        mentions, _ = split_extraction(streamed)
+        result = (
+            mentions.groupBy("entity_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_mentions"),
+                F.countDistinct("entity_norm").alias("n_unique"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
