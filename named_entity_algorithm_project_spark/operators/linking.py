@@ -137,8 +137,13 @@ def tfidf_weights(norms: DataFrame, n_norms: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_counts = tf.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
-    # smooth idf: ln((1+N)/(1+df)) + 1  (sklearn default)
-    weighted = tf.join(df_counts, "ngram").withColumn(
+    # merge-join hints on BOTH weight-assembly joins: df_counts is
+    # gram-vocabulary-sized and norms_sq is norm-vocabulary-sized — at the
+    # 640k-norm tier an estimate-driven broadcast of either OOMs the
+    # driver building the hash relation (string keys inflate 5-10x their
+    # shuffle size; BENCH.md round-5 curve). Both joins share the tf
+    # frame's own shuffle keys, so sort-merge costs no extra exchange.
+    weighted = tf.join(df_counts.hint("merge"), "ngram").withColumn(
         "w_raw",
         F.col("tf")
         * (
@@ -150,7 +155,7 @@ def tfidf_weights(norms: DataFrame, n_norms: int) -> DataFrame:
         F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("l2")
     )
     return (
-        weighted.join(norms_sq, "norm")
+        weighted.join(norms_sq.hint("merge"), "norm")
         .select("norm", "ngram", (F.col("w_raw") / F.col("l2")).alias("w"))
     )
 
@@ -174,9 +179,19 @@ def similarity_pairs(
         F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
     )
     if candidate_max_df is not None and df_counts is not None:
-        keep = df_counts.filter(F.col("df") <= candidate_max_df).select("ngram")
-        left = left.join(F.broadcast(keep), "ngram")
-        right = right.join(F.broadcast(keep), "ngram")
+        # merge-join hint: `keep` is GRAM-vocabulary-sized (~10-15x the
+        # norm count). An explicit broadcast OOM'd the 640k-norm tier, and
+        # even AQE's own estimate-driven broadcast choice did (string-heavy
+        # gram tables inflate 5-10x their estimated size as hash
+        # relations) — BENCH.md round-5 curve. The join key is ngram,
+        # which the postings join shuffles on anyway.
+        keep = (
+            df_counts.filter(F.col("df") <= candidate_max_df)
+            .select("ngram")
+            .hint("merge")
+        )
+        left = left.join(keep, "ngram")
+        right = right.join(keep, "ngram")
 
     joined = left.join(right, "ngram").filter(F.col("a") < F.col("b"))
     partial = (
@@ -246,8 +261,13 @@ def similarity_pairs_prefix(
         weights = weights.localCheckpoint(eager=True)
     cand_weights = weights
     if candidate_max_df is not None and df_counts is not None:
-        keep = df_counts.filter(F.col("df") <= candidate_max_df).select("ngram")
-        cand_weights = weights.join(F.broadcast(keep), "ngram")
+        # merge-join hint — gram-vocabulary-sized; see similarity_pairs
+        keep = (
+            df_counts.filter(F.col("df") <= candidate_max_df)
+            .select("ngram")
+            .hint("merge")
+        )
+        cand_weights = weights.join(keep, "ngram")
     score_weights = weights if cap_scope == "candidates" else cand_weights
     # float-safety margin widens prefixes slightly (never prunes a pair the
     # exact arithmetic could pass)
@@ -283,7 +303,9 @@ def similarity_pairs_prefix(
     # gram in EITHER side's prefix appears (normalized to a < b)
     cand = (
         cand_weights.select(F.col("norm").alias("x"), "ngram")
-        .join(prefix.select(F.col("norm").alias("y"), "ngram"), "ngram")
+        # prefix is ~MIN_PREFIX_RANK..8 rows per norm — far past any sane
+        # broadcast at vocab scale; same merge-hint rationale as `keep`
+        .join(prefix.select(F.col("norm").alias("y"), "ngram").hint("merge"), "ngram")
         .filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
@@ -306,7 +328,7 @@ def similarity_pairs_prefix(
         F.max("w").alias("_maxw"),
         F.sum("w").alias("_l1"),
         F.count(F.lit(1)).alias("_n"),
-    )
+    ).hint("merge")  # vocabulary-sized — shuffle, never driver-broadcast
     cand = (
         cand.join(
             stats.select(
@@ -348,7 +370,10 @@ def similarity_pairs_prefix(
     right = score_weights.select(
         F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
     )
-    joined = cand.join(left, "a").join(right, ["b", "ngram"])
+    # merge hint: the candidate-pair table is |pairs|-sized (millions at
+    # vocab scale) — an estimate-driven broadcast of it into the score
+    # join was the last of the four OOM sites the 640k-norm tier exposed
+    joined = cand.hint("merge").join(left, "a").join(right, ["b", "ngram"])
     partial = (
         joined.withColumn(
             "salt", F.pmod(F.xxhash64("ngram"), F.lit(salt_partitions))
@@ -514,14 +539,21 @@ def gate_scored_pairs(
     (a, b, score) candidate source — TF-IDF inverted-index scores and
     semantic-embedding scores go through the identical gates, exactly as
     _build_cluster_maps treats its similarity_lookup regardless of origin."""
+    # merge-join hints: profiles_eff is vocabulary-sized, and at the
+    # 640k-norm tier TWO concurrent estimate-driven broadcasts of it
+    # (string-keyed hash relations inflate 5-10x) OOM'd the shared local
+    # heap while evaluating the edges checkpoint (BENCH.md round-5 curve);
+    # on a real cluster the same build happens per executor. The scored
+    # pairs are already shuffled, so sort-merge adds only the profile-side
+    # exchange.
     eff_a = profiles_eff.select(
         F.col("norm").alias("a"),
         F.col("types").alias("types_a"),
-    )
+    ).hint("merge")
     eff_b = profiles_eff.select(
         F.col("norm").alias("b"),
         F.col("types").alias("types_b"),
-    )
+    ).hint("merge")
     return (
         scored.join(eff_a, "a")
         .join(eff_b, "b")
@@ -691,9 +723,11 @@ def build_linking_tables(
         .agg(F.array_sort(F.collect_set("t")).alias("types"))
     )
     # norms with no original profile (abbrev-only endpoints) default UNKNOWN
+    # (merge hint: effective_types is vocabulary-sized — same broadcast-OOM
+    # rationale as gate_scored_pairs)
     profiles_eff = (
         profiles.select("norm", "freq")
-        .join(effective_types, "norm", "left")
+        .join(effective_types.hint("merge"), "norm", "left")
         .withColumn("types", F.coalesce(F.col("types"), F.array(F.lit("UNKNOWN"))))
     )
 
