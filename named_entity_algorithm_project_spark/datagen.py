@@ -87,6 +87,14 @@ _TOOLS = ["search", "calculator", "plotter", None]
 
 _POOL_CACHE: dict = {}
 
+#: the planted power-law hub (scripts/skew_bench.py): with
+#: ``hub_rate > 0`` this ONE norm lands in ~hub_rate of all non-empty
+#: turns, concentrating a constant fraction of every mention-keyed
+#: aggregation on a single key — the end-to-end skew stressor for the
+#: salted pair-agg / components paths. An existing gazetteer material so
+#: the detector extracts it with no special-casing.
+HUB_NORM = "P3HT"
+
 
 def _pools(vocab_scale: int):
     """(materials, alias_families, abbrev_seeds) for a scale level."""
@@ -176,7 +184,9 @@ def planted_pair_edge_stats(
     return n_present, n_hit
 
 
-def _make_turn_text(rng: random.Random, vocab_scale: int = 1) -> str:
+def _make_turn_text(
+    rng: random.Random, vocab_scale: int = 1, hub_rate: float = 0.0
+) -> str:
     materials, alias_families, abbrev_seeds = _pools(vocab_scale)
     parts: List[str] = []
     n_sentences = rng.randint(1, 3)
@@ -207,6 +217,12 @@ def _make_turn_text(rng: random.Random, vocab_scale: int = 1) -> str:
         else:
             words = [rng.choice(_FILLER) for _ in range(rng.randint(6, 14))]
             parts.append(" ".join(words) + ".")
+    # the rng draw happens ONLY when the dial is on, so hub_rate=0 (the
+    # default, and every pinned fixture) stays bit-identical to the
+    # original generator
+    if hub_rate > 0.0 and rng.random() < hub_rate:
+        prop = rng.choice(_PROPERTIES)
+        parts.append(f"{HUB_NORM} exhibits notable {prop} under bias.")
     return " ".join(parts)
 
 
@@ -216,6 +232,7 @@ def conv_rows(
     empty_turn_rate: float = 0.05,
     long_turn_rate: float = 0.01,
     vocab_scale: int = 1,
+    hub_rate: float = 0.0,
 ) -> List[Tuple[str, int, str, str, str, dt.datetime]]:
     """Rows for ONE conversation, seeded per (seed, conv_idx) — the same
     function runs driver-side (tests/oracle) and executor-side (scaled
@@ -237,10 +254,10 @@ def conv_rows(
             text = ""
         elif u < empty_turn_rate + long_turn_rate:
             text = " ".join(
-                _make_turn_text(rng, vocab_scale) for _ in range(40)
+                _make_turn_text(rng, vocab_scale, hub_rate) for _ in range(40)
             )
         else:
-            text = _make_turn_text(rng, vocab_scale)
+            text = _make_turn_text(rng, vocab_scale, hub_rate)
         ts = ts + dt.timedelta(seconds=rng.randint(5, 120))
         rows.append((conv_id, t, role, text, tool, ts))
     return rows
@@ -250,10 +267,13 @@ def generate_rows(
     n_convs: int = 100,
     seed: int = 42,
     vocab_scale: int = 1,
+    hub_rate: float = 0.0,
 ) -> List[Tuple[str, int, str, str, str, dt.datetime]]:
     rows = []
     for c in range(n_convs):
-        rows.extend(conv_rows(c, seed, vocab_scale=vocab_scale))
+        rows.extend(
+            conv_rows(c, seed, vocab_scale=vocab_scale, hub_rate=hub_rate)
+        )
     return rows
 
 
@@ -263,6 +283,7 @@ def generate_transcripts(
     seed: int = 42,
     n_partitions: int = None,
     vocab_scale: int = 1,
+    hub_rate: float = 0.0,
 ) -> DataFrame:
     """Executor-side generation: spark.range over conversation indices,
     mapInPandas expands each index into its turns. Scales to millions of
@@ -279,7 +300,12 @@ def generate_transcripts(
             out = []
             for conv_idx in pdf["id"]:
                 out.extend(
-                    conv_rows(int(conv_idx), seed, vocab_scale=vocab_scale)
+                    conv_rows(
+                        int(conv_idx),
+                        seed,
+                        vocab_scale=vocab_scale,
+                        hub_rate=hub_rate,
+                    )
                 )
             yield pd.DataFrame(
                 out,
