@@ -109,6 +109,16 @@ def chunk_text(
                 offsets = list(enc.get("offset_mapping") or [])
             except Exception:
                 offsets = []
+            if offsets and len(offsets) != len(tokens):
+                # some tokenizers emit special tokens in the encode even
+                # with add_special_tokens=False; those ride the offset
+                # mapping as zero-width (s == e) entries. Strip them and
+                # keep the token-budget branch if the counts then agree —
+                # silently degrading to the word fallback would over-fill
+                # the 512-token window on real models.
+                trimmed = [o for o in offsets if o[0] != o[1]]
+                if len(trimmed) == len(tokens):
+                    offsets = trimmed
             if len(offsets) == len(tokens):
                 return _chunk_by_tokens(
                     text, tokenizer, offsets, max_tokens, inner_max, overlap
@@ -345,19 +355,37 @@ class _HFBatchedPipeline:
                 f"{len(preds) if isinstance(preds, list) else type(preds)} "
                 f"prediction lists for {len(texts)} texts"
             )
-        return [
-            [
-                {
-                    "entity_group": p.get("entity_group", ""),
-                    "score": float(p.get("score", 0.0)),
-                    "word": p.get("word", ""),
-                    "start": int(p.get("start", 0)),
-                    "end": int(p.get("end", 0)),
-                }
-                for p in (batch or [])
-            ]
-            for batch in preds
-        ]
+        out: List[List[dict]] = []
+        for batch in preds:
+            rows = []
+            for p in batch or []:
+                start, end = p.get("start"), p.get("end")
+                if start is None or end is None:
+                    # slow (non-fast) tokenizers return start/end = None —
+                    # a span without char offsets cannot be remapped to the
+                    # turn, so it is dropped instead of TypeError-ing the
+                    # whole Arrow batch
+                    continue
+                grp = p.get("entity_group")
+                if not grp:
+                    # aggregation_strategy="none"-shaped rows (and some
+                    # version drift under "first"/"max") label via
+                    # `entity` with BIO prefixes instead of `entity_group`
+                    grp = str(p.get("entity", "") or "")
+                    if grp[:2] in ("B-", "I-"):
+                        grp = grp[2:]
+                rows.append(
+                    {
+                        "entity_group": grp,
+                        # float() normalizes np.float32 / str scores alike
+                        "score": float(p.get("score", 0.0)),
+                        "word": p.get("word", ""),
+                        "start": int(start),
+                        "end": int(end),
+                    }
+                )
+            out.append(rows)
+        return out
 
 
 def get_model(model_name: str):

@@ -609,3 +609,107 @@ def test_hf_adapter_vocab_extension_resizes_embeddings(monkeypatch):
     # idempotent replay
     assert ensure_vocab_extension(ad, ["PCE", "OFET"]) == 0
     assert ad._pipe.model.resized_to == 4
+
+
+def test_hf_adapter_drops_offsetless_predictions(monkeypatch):
+    """Slow (non-fast) tokenizers return start=None/end=None — a span
+    without char offsets cannot be remapped to the turn, so the adapter
+    drops it (int(None) used to TypeError the whole Arrow batch) while
+    keeping every offset-carrying prediction in the same batch."""
+    from named_entity_algorithm_project_spark.operators.neural import (
+        _HFBatchedPipeline,
+    )
+
+    good = {"entity_group": "MATERIAL", "score": 0.9, "word": "P3HT",
+            "start": 4, "end": 8}
+    bad = {"entity_group": "VALUE", "score": 0.8, "word": "15.3",
+           "start": None, "end": None}
+    _fake_transformers(monkeypatch, lambda texts: [[bad, good] for _ in texts])
+    ad = _HFBatchedPipeline("fake/model")
+    assert ad(["has P3HT"]) == [
+        [{"entity_group": "MATERIAL", "score": 0.9, "word": "P3HT",
+          "start": 4, "end": 8}]
+    ]
+
+
+def test_hf_adapter_entity_key_bio_fallback(monkeypatch):
+    """aggregation_strategy="none"-shaped rows (and version drift under
+    "first"/"max") label via `entity` with BIO prefixes instead of
+    `entity_group`: the adapter strips B-/I- and uses the bare label."""
+    from named_entity_algorithm_project_spark.operators.neural import (
+        _HFBatchedPipeline,
+    )
+
+    rows = [
+        {"entity": "B-MATERIAL", "score": 0.9, "word": "P3", "start": 0, "end": 2},
+        {"entity": "I-MATERIAL", "score": 0.8, "word": "##HT", "start": 2, "end": 4},
+        {"entity": "MISC", "score": 0.7, "word": "x", "start": 5, "end": 6},
+    ]
+    _fake_transformers(monkeypatch, lambda texts: [list(rows) for _ in texts])
+    ad = _HFBatchedPipeline("fake/model")
+    out = ad(["P3HT x"])
+    assert [p["entity_group"] for p in out[0]] == [
+        "MATERIAL", "MATERIAL", "MISC"
+    ]
+
+
+def test_hf_adapter_numpy_float32_scores(monkeypatch):
+    """HF pipelines return np.float32 scores under every aggregation
+    strategy — normalized to Python float (Arrow chokes on object columns
+    of numpy scalars)."""
+    import numpy as np
+
+    from named_entity_algorithm_project_spark.operators.neural import (
+        _HFBatchedPipeline,
+    )
+
+    pred = {"entity_group": "VALUE", "score": np.float32(0.75), "word": "1",
+            "start": 0, "end": 1}
+    _fake_transformers(monkeypatch, lambda texts: [[pred] for _ in texts])
+    ad = _HFBatchedPipeline("fake/model")
+    (got,) = ad(["1"])[0:1][0]
+    assert isinstance(got["score"], float)
+    assert got["score"] == pytest.approx(0.75)
+
+
+from named_entity_algorithm_project_spark.operators.neural import (  # noqa: E402
+    StubWordPieceTokenizer,
+)
+
+
+class _SpecialTokenLeakTokenizer(StubWordPieceTokenizer):
+    """Tokenizer that (like several real HF tokenizers) emits its special
+    tokens in the encode call EVEN with add_special_tokens=False: the
+    offset mapping gains zero-width (0,0) bracketing entries, so its
+    length disagrees with tokenize()'s."""
+
+    def __call__(self, text, return_offsets_mapping=False,
+                 add_special_tokens=False):
+        out = super().__call__(
+            text, return_offsets_mapping, add_special_tokens=True
+        )
+        if return_offsets_mapping:
+            out["offset_mapping"] = (
+                [(0, 0)] + list(out["offset_mapping"]) + [(0, 0)]
+            )
+        return out
+
+
+def test_chunk_text_strips_leaked_special_token_offsets():
+    """The token-budget branch must survive special-token offset leakage
+    (zero-width entries stripped, counts re-checked) instead of silently
+    degrading to the word fallback — chunks identical to the clean
+    tokenizer's."""
+    from named_entity_algorithm_project_spark.operators.neural import (
+        chunk_text,
+    )
+
+    text = " ".join(f"characterization{i:04d}" for i in range(300))
+    clean = chunk_text(text, max_tokens=128, overlap=16,
+                       tokenizer=StubWordPieceTokenizer(piece_len=4))
+    leaky = chunk_text(text, max_tokens=128, overlap=16,
+                       tokenizer=_SpecialTokenLeakTokenizer(piece_len=4))
+    assert len(clean) > 1  # the budget branch actually chunked
+    assert leaky == clean
+    for start, chunk in leaky:
+        assert text[start:start + len(chunk)] == chunk
