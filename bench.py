@@ -38,6 +38,9 @@ HEADLINE_QUERIES = [
     "q13_minhash_bands",
     "q14_cosine_topk",
     "q16_token_stats",
+    # added round 5 (new totals are not comparable to r4 without
+    # subtracting this row; per-query timings compare cleanly)
+    "q36_lsh_ann_topk",
 ]
 
 
