@@ -144,6 +144,17 @@ def run_pipeline(
             print(f"STAGE-TIMING {name} {_time.time() - _t0:.1f}s", flush=True)
         _t0 = _time.time()
 
+    def _phase(name: str) -> None:
+        # label every job this phase launches in the Spark UI / REST API —
+        # how scripts/skew_bench.py (and a cluster operator) attribute
+        # stage-level task-skew to pipeline phases
+        try:
+            spark.sparkContext.setJobDescription(f"kg:{name}")
+        except Exception:
+            pass
+
+    _phase("stage_a")
+
     # ---------------- Stage A: bucketed, checkpointed extraction ----------
     added_tokens = None
     if config.extend_vocab and config.detector.startswith("neural"):
@@ -203,6 +214,7 @@ def run_pipeline(
             bucketed.unpersist()
 
     _mark("stage_a")
+    _phase("stage_b_linking")
     mentions_raw, abbrevs = read_stage_a(spark, paths)
 
     # ---------------- Stage B: linking ------------------------------------
@@ -218,6 +230,7 @@ def run_pipeline(
     )
 
     _mark("stage_b_linking")
+    _phase("stage_c_components")
 
     # ---------------- Stage C: components + canonical pick ----------------
     node_universe = (
@@ -244,6 +257,7 @@ def run_pipeline(
     mentions = mentions.localCheckpoint(eager=True)
 
     _mark("stage_c_components")
+    _phase("stage_e_entities_plan")
 
     # ---------------- Stage D: triples ------------------------------------
     has_value = build_triples(mentions)
@@ -273,6 +287,7 @@ def run_pipeline(
         "canonical_display",
     )
     _mark("stage_e_entities_plan")
+    _phase("stage_e_entities_write")
     # No repartition: the frame is narrow over the Stage-A scan (canonical
     # joins are broadcast) and 32 MiB scan splits (session.py) already give
     # the parquet encode its parallelism — an exchange here would re-shuffle
@@ -280,6 +295,7 @@ def run_pipeline(
     # efficiency metric flags on this box (BENCH.md).
     write_table(entities, os.path.join(output_dir, "entities_canonical"))
     _mark("stage_e_entities_write")
+    _phase("stage_e_triples_write")
     # pipeline-level metrics (the lineage table holds per-bucket Stage-A
     # rows; this table holds the downstream-stage counters the reference
     # surfaced as run stats, app.py:3523-3601). Per-pred counts ride the
@@ -310,6 +326,7 @@ def run_pipeline(
         partition_by=["pred"],
     )
     _mark("stage_e_triples_write")
+    _phase("stage_e_metrics_small_tables")
     try:
         pred_counts = obs.get
     except Exception:

@@ -43,11 +43,32 @@ def _api(base: str, path: str):
         return json.loads(r.read().decode())
 
 
+def _stage_phases(base: str, app_id: str) -> dict:
+    """stage_id -> pipeline-phase label, from each job's description
+    (run_pipeline sets ``kg:<phase>`` via setJobDescription)."""
+    phases = {}
+    for job in _api(base, f"/api/v1/applications/{app_id}/jobs"):
+        desc = job.get("description") or ""
+        label = desc[3:] if desc.startswith("kg:") else ""
+        for sid in job.get("stageIds", []):
+            if label:
+                phases[sid] = label
+    return phases
+
+
 def stage_skew_table(spark, min_tasks: int = 8, coverage: float = 0.90):
-    """[(stage_id, name, n_tasks, total_s, p50_ms, p99_ms, ratio)] over the
-    completed stages covering ``coverage`` of total executor run time."""
+    """[(stage_id, phase, n_tasks, total_s, p50_ms, p99_ms, ratio)] over the
+    completed stages covering ``coverage`` of total executor run time.
+
+    The headline skew metric only considers LOADED-median stages (p50 >=
+    500ms): a stage whose median task is empty (a groupBy with fewer
+    populated keys/partitions than tasks) yields an unbounded p99/p50
+    without any straggler — for those, the absolute p99 and the phase
+    label are the diagnostic, not the ratio.
+    """
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
+    phases = _stage_phases(base, app_id)
     stages = _api(base, f"/api/v1/applications/{app_id}/stages?status=COMPLETE")
     stages = [s for s in stages if s.get("numCompleteTasks", 0) >= min_tasks]
     stages.sort(key=lambda s: -s.get("executorRunTime", 0))
@@ -67,7 +88,7 @@ def stage_skew_table(spark, min_tasks: int = 8, coverage: float = 0.90):
         out.append(
             (
                 sid,
-                s.get("name", "")[:60],
+                phases.get(sid, s.get("name", "")[:40]),
                 s["numCompleteTasks"],
                 round(s["executorRunTime"] / 1000.0, 1),
                 round(p50, 1),
@@ -76,6 +97,9 @@ def stage_skew_table(spark, min_tasks: int = 8, coverage: float = 0.90):
             )
         )
     return out
+
+
+LOADED_P50_MS = 500.0
 
 
 def main():
@@ -110,7 +134,8 @@ def main():
     n_entities = res.entities.count()
 
     table = stage_skew_table(spark)
-    worst = max((r[-1] for r in table), default=None)
+    loaded = [r for r in table if r[4] >= LOADED_P50_MS]
+    worst = max((r[-1] for r in loaded), default=None)
     print(
         json.dumps(
             {
@@ -122,12 +147,13 @@ def main():
                 "hub_share": round(hub_mentions / max(n_entities, 1), 3),
                 "n_triples": n_triples,
                 "wall_s": round(wall, 1),
-                "worst_p99_over_p50": worst,
+                "worst_loaded_p99_over_p50": worst,
+                "n_loaded_stages": len(loaded),
             }
         ),
         flush=True,
     )
-    print("stage_id | tasks | total_s | p50_ms | p99_ms | p99/p50 | name")
+    print("stage_id | tasks | total_s | p50_ms | p99_ms | p99/p50 | phase")
     for sid, name, n, tot, p50, p99, ratio in table:
         print(f"{sid:8d} | {n:5d} | {tot:7.1f} | {p50:6.1f} | {p99:7.1f} | "
               f"{ratio:7.2f} | {name}")
