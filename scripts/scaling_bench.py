@@ -64,7 +64,13 @@ def run_level(cpus: int, n_convs: int) -> dict:
             [sys.executable, path, str(cpus), str(n_convs)],
             capture_output=True, text=True, timeout=3600, check=True,
         )
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        lines = out.stdout.strip().splitlines()
+        # surface per-stage timing (SPARK_GRAFT_STAGE_TIMING=1 in the env
+        # passes through to the runner) so anomalous legs are diagnosable
+        for ln in lines[:-1]:
+            if ln.startswith("STAGE-TIMING"):
+                print(f"[local[{cpus}]] {ln}", file=sys.stderr, flush=True)
+        return json.loads(lines[-1])
     finally:
         os.unlink(path)
 
@@ -74,8 +80,12 @@ def main() -> None:
     n_small = int(os.environ.get("KG_SCALE_N", "2"))
     n_large = 4 * n_small
 
+    from host_health import probe  # noqa: E402 — sibling module
+
+    health_before = probe()
     small = run_level(n_small, n_convs)
     large = run_level(n_large, n_convs)
+    health_after = probe()
     efficiency = round((small["wall_sec"] / large["wall_sec"]) / 4, 3)
     extract_eff = round(
         (small["extract_wall_sec"] / large["extract_wall_sec"]) / 4, 3
@@ -88,6 +98,11 @@ def main() -> None:
         "extract_stage_efficiency": extract_eff,
         "target": 0.8,
         "meets_target": efficiency >= 0.8,
+        # DRAM-bandwidth state brackets the pair (scripts/host_health.py):
+        # a pair measured in a low-bandwidth window indicts the HOST, not
+        # the code — see BENCH.md round-5 host-state section
+        "health_before": health_before,
+        "health_after": health_after,
     }
     print(json.dumps(report))
 
