@@ -170,7 +170,9 @@ def planted_pair_edge_stats(
 
     if not pairs:
         return 0, 0
-    pairs_df = spark.createDataFrame(pairs, "p1 string, p2 string").select(
+    from .functions.localrel import local_df
+
+    pairs_df = local_df(spark, pairs, "p1 string, p2 string").select(
         F.least("p1", "p2").alias("src"), F.greatest("p1", "p2").alias("dst")
     )
     norms = norms.select("norm")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .functions.localrel import local_df
 from .operators.extract import EXTRACTION_TABLE_SCHEMA, split_extraction
 
 LINEAGE_SCHEMA = T.StructType(
@@ -161,7 +162,7 @@ def commit_bucket(
     wall_ms = int((time.time() - t0) * 1000)
 
     row = [(n_turns, n_mentions, n_abbrevs, wall_ms, None, run_id)]
-    lineage = spark.createDataFrame(row, LINEAGE_FILE_SCHEMA).withColumn(
+    lineage = local_df(spark, row, LINEAGE_FILE_SCHEMA).withColumn(
         "committed_at", F.current_timestamp()
     )
     # marker write is the commit point
@@ -345,7 +346,7 @@ def commit_buckets_batch(
             )
             for r in out
         ]
-        lineage = spark.createDataFrame(rows, LINEAGE_SCHEMA).withColumn(
+        lineage = local_df(spark, rows, LINEAGE_SCHEMA).withColumn(
             "committed_at", F.current_timestamp()
         )
         (
@@ -373,7 +374,7 @@ def commit_buckets_batch(
                 run_id,
             )
         ]
-        lineage = spark.createDataFrame(row, LINEAGE_FILE_SCHEMA).withColumn(
+        lineage = local_df(spark, row, LINEAGE_FILE_SCHEMA).withColumn(
             "committed_at", F.current_timestamp()
         )
         lineage.coalesce(1).write.mode("overwrite").parquet(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..dictionaries import ACRONYM_SET
+from ..functions.localrel import local_df
 from .linking import SKIP_TYPES
 
 #: the reference's apply_canonical_merge_map skip set (app.py:1824) is
@@ -162,7 +163,7 @@ def apply_user_overrides(
             if str(variant).strip()
         ]
         if rows:
-            dim = spark.createDataFrame(rows, "variant string, user_canonical string")
+            dim = local_df(spark, rows, "variant string, user_canonical string")
             is_value = F.upper(F.col("entity_type")).isin(*SKIP_TYPES)
             out = (
                 out.withColumn("_k", F.lower(F.trim(F.col("entity"))))
@@ -190,7 +191,7 @@ def apply_user_overrides(
         # the CASE of a matching canonical to the stored target
         rows = [(s, t) for s, t in sorted(resolved.items()) if s and t]
         if rows:
-            dim = spark.createDataFrame(rows, "m_source string, m_target string")
+            dim = local_df(spark, rows, "m_source string, m_target string")
             out = (
                 out.join(
                     F.broadcast(dim),

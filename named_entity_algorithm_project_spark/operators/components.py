@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_df
+
 
 def connected_components(
     nodes: DataFrame,
@@ -81,8 +83,8 @@ def connected_components(
             node_list = [r[0] for r in nodes.collect()]
             edge_list = [(r[0], r[1]) for r in edges.collect()]
             mapping = _local_components(node_list, edge_list)
-            return spark.createDataFrame(
-                sorted(mapping.items()), "norm string, component string"
+            return local_df(
+                spark, sorted(mapping.items()), "norm string, component string"
             )
     if algorithm == "star":
         return _star_labels(nodes, edges, max_rounds=max_iterations)

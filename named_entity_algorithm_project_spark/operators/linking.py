@@ -520,8 +520,10 @@ def domain_alias_edges(all_nodes: DataFrame) -> DataFrame:
             ).select(F.col("norm").alias("src"), F.lit(alias).alias("dst"))
         )
     if not frames:
-        return all_nodes.sparkSession.createDataFrame(
-            [], "src string, dst string"
+        from ..functions.localrel import local_df
+
+        return local_df(
+            all_nodes.sparkSession, [], "src string, dst string"
         )
     out = frames[0]
     for frame in frames[1:]:

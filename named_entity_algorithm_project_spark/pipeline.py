@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .detector import DEFAULT_CONFIDENCE_THRESHOLD
+from .functions.localrel import local_df
 from .io_tables import (
     StageAPaths,
     commit_bucket,
@@ -364,7 +365,7 @@ def run_pipeline(
         ("n_triples_mentions", float(pred_counts["n_mentions"])),
         ("n_triples_same_as", float(pred_counts["n_same_as"])),
     ]
-    metrics = spark.createDataFrame(metrics_rows, "metric string, value double")
+    metrics = local_df(spark, metrics_rows, "metric string, value double")
     write_table(metrics.coalesce(1), os.path.join(output_dir, "metrics"))
     write_table(canonical_map, os.path.join(output_dir, "canonical_map"))
     write_table(

@@ -1317,8 +1317,10 @@ def q37_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = generate_rows(n_convs=KG_N_CONVS, seed=KG_SEED)
         half = [r for r in rows if int(r[0].split("-")[1]) % 2 == 0]
         rest = [r for r in rows if int(r[0].split("-")[1]) % 2 == 1]
+        from .functions.localrel import local_df
+
         for batch in (half, rest):
-            spark.createDataFrame(batch, TRANSCRIPTS_SCHEMA).coalesce(
+            local_df(spark, batch, TRANSCRIPTS_SCHEMA).coalesce(
                 1
             ).write.mode("append").parquet(input_dir)
 

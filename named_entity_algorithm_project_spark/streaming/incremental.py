@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datagen import TRANSCRIPTS_SCHEMA
+from ..functions.localrel import local_df
 from ..operators.extract import extract_combined
 
 
@@ -76,7 +77,8 @@ def process_batch(
         .parquet(extraction_path)
     )
     stats = obs.get
-    lineage = spark.createDataFrame(
+    lineage = local_df(
+        spark,
         [
             (
                 int(stats["n_turns"] or 0),
