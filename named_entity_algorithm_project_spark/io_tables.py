@@ -383,17 +383,22 @@ def commit_buckets_batch(
     return out
 
 
+def read_stage_a_extracted(spark: SparkSession, paths: StageAPaths) -> DataFrame:
+    """The combined per-turn extraction frame over ONLY committed buckets
+    (lineage-gated)."""
+    buckets = committed_buckets(spark, paths)
+    if not buckets:
+        raise FileNotFoundError(f"no committed Stage-A buckets under {paths.root}")
+    return spark.read.schema(EXTRACTION_TABLE_SCHEMA).parquet(
+        *[paths.extraction_bucket(b) for b in buckets]
+    )
+
+
 def read_stage_a(
     spark: SparkSession, paths: StageAPaths
 ) -> tuple[DataFrame, DataFrame]:
     """Read ONLY committed buckets (lineage-gated)."""
-    buckets = committed_buckets(spark, paths)
-    if not buckets:
-        raise FileNotFoundError(f"no committed Stage-A buckets under {paths.root}")
-    extracted = spark.read.schema(EXTRACTION_TABLE_SCHEMA).parquet(
-        *[paths.extraction_bucket(b) for b in buckets]
-    )
-    return split_extraction(extracted)
+    return split_extraction(read_stage_a_extracted(spark, paths))
 
 
 def write_table(

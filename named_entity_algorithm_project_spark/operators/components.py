@@ -72,20 +72,32 @@ def connected_components(
         the node's component.
     """
     spark = nodes.sparkSession
-    # Materialize inputs once up front: both paths otherwise re-execute the
-    # full upstream DAG (TF-IDF similarity join included) per consumption.
+    if local_threshold > 0:
+        # ONE bounded limit-collect per input doubles as the size gate AND
+        # the driver-path data (was: checkpoint + limit-count + full
+        # collect per input — four extra jobs). The collects are bounded
+        # by the thresholds (+1 row), so driver memory stays capped even
+        # when the gate says "too big" and the distributed path runs.
+        node_rows = nodes.limit(local_threshold + 1).collect()
+        if len(node_rows) <= local_threshold:
+            edge_rows = edges.limit(local_edge_threshold + 1).collect()
+            if len(edge_rows) <= local_edge_threshold:
+                mapping = _local_components(
+                    [r[0] for r in node_rows],
+                    [(r[0], r[1]) for r in edge_rows],
+                )
+                return local_df(
+                    spark,
+                    sorted(mapping.items()),
+                    "norm string, component string",
+                )
+    # Distributed paths: materialize inputs once — the iterative rounds
+    # otherwise re-execute the full upstream DAG (TF-IDF similarity join
+    # included) per consumption. (The driver path above deliberately skips
+    # this: its single collect per input is the only consumption, and the
+    # pipeline already hands it checkpointed linking tables.)
     nodes = nodes.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
-    if local_threshold > 0:
-        n_nodes = nodes.limit(local_threshold + 1).count()
-        n_edges = edges.limit(local_edge_threshold + 1).count()
-        if n_nodes <= local_threshold and n_edges <= local_edge_threshold:
-            node_list = [r[0] for r in nodes.collect()]
-            edge_list = [(r[0], r[1]) for r in edges.collect()]
-            mapping = _local_components(node_list, edge_list)
-            return local_df(
-                spark, sorted(mapping.items()), "norm string, component string"
-            )
     if algorithm == "star":
         return _star_labels(nodes, edges, max_rounds=max_iterations)
     # Materialize the edge list once: without this every iteration would

@@ -79,6 +79,26 @@ SKIP_TYPES = ("PROP_VALUE", "MATERIAL_AMOUNT")
 #: test, which imports this name.
 MIN_PREFIX_RANK = 4
 
+#: Vocabulary size above which the linking joins pin vocabulary-sized
+#: dimensions (gram keep-lists, weights, per-norm stats, candidate pairs,
+#: effective-type profiles) to sort-merge via .hint("merge"). The hints
+#: exist because at the 640k-norm tier the estimate-driven broadcast of
+#: these string-heavy tables OOM'd (hash relations inflate 5-10x their
+#: shuffle size — BENCH.md round-5 curve). BELOW this bound the same hint
+#: is pure overhead: a 26-norm bench vocabulary was paying a full
+#: exchange+sort per join where AQE's runtime-size broadcast decision is
+#: both safe (actual sizes, not estimates, and well under the 64 MiB
+#: session threshold) and shuffle-free. 50k norms ≈ 650k grams ≈ ~20 MB
+#: exchange-side — inside the broadcast envelope with the measured 5-10x
+#: inflation on an 8g driver; the cap aligns with auto_block_min_vocab.
+MERGE_HINT_MIN_VOCAB = 50_000
+
+
+def _dim_hint(df: DataFrame, large_vocab: bool) -> DataFrame:
+    """Sort-merge-pin a vocabulary-sized join input at large vocab; let the
+    planner/AQE pick (runtime-size broadcast) below the bound."""
+    return df.hint("merge") if large_vocab else df
+
 
 @dataclass
 class LinkingTables:
@@ -137,13 +157,15 @@ def tfidf_weights(norms: DataFrame, n_norms: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_counts = tf.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
-    # merge-join hints on BOTH weight-assembly joins: df_counts is
-    # gram-vocabulary-sized and norms_sq is norm-vocabulary-sized — at the
-    # 640k-norm tier an estimate-driven broadcast of either OOMs the
-    # driver building the hash relation (string keys inflate 5-10x their
-    # shuffle size; BENCH.md round-5 curve). Both joins share the tf
-    # frame's own shuffle keys, so sort-merge costs no extra exchange.
-    weighted = tf.join(df_counts.hint("merge"), "ngram").withColumn(
+    large_vocab = n_norms > MERGE_HINT_MIN_VOCAB
+    # merge-join hints (large vocab only — see MERGE_HINT_MIN_VOCAB) on
+    # BOTH weight-assembly joins: df_counts is gram-vocabulary-sized and
+    # norms_sq is norm-vocabulary-sized — at the 640k-norm tier an
+    # estimate-driven broadcast of either OOMs the driver building the
+    # hash relation (string keys inflate 5-10x their shuffle size;
+    # BENCH.md round-5 curve). Both joins share the tf frame's own shuffle
+    # keys, so sort-merge costs no extra exchange there.
+    weighted = tf.join(_dim_hint(df_counts, large_vocab), "ngram").withColumn(
         "w_raw",
         F.col("tf")
         * (
@@ -155,7 +177,7 @@ def tfidf_weights(norms: DataFrame, n_norms: int) -> DataFrame:
         F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("l2")
     )
     return (
-        weighted.join(norms_sq.hint("merge"), "norm")
+        weighted.join(_dim_hint(norms_sq, large_vocab), "norm")
         .select("norm", "ngram", (F.col("w_raw") / F.col("l2")).alias("w"))
     )
 
@@ -165,6 +187,7 @@ def similarity_pairs(
     salt_partitions: int = 16,
     candidate_max_df: Optional[int] = None,
     df_counts: Optional[DataFrame] = None,
+    large_vocab: bool = True,
 ) -> DataFrame:
     """Exact cosine for every norm pair sharing an n-gram: (a, b, score).
 
@@ -179,16 +202,16 @@ def similarity_pairs(
         F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
     )
     if candidate_max_df is not None and df_counts is not None:
-        # merge-join hint: `keep` is GRAM-vocabulary-sized (~10-15x the
-        # norm count). An explicit broadcast OOM'd the 640k-norm tier, and
-        # even AQE's own estimate-driven broadcast choice did (string-heavy
-        # gram tables inflate 5-10x their estimated size as hash
-        # relations) — BENCH.md round-5 curve. The join key is ngram,
-        # which the postings join shuffles on anyway.
-        keep = (
-            df_counts.filter(F.col("df") <= candidate_max_df)
-            .select("ngram")
-            .hint("merge")
+        # merge-join hint (large vocab only): `keep` is
+        # GRAM-vocabulary-sized (~10-15x the norm count). An explicit
+        # broadcast OOM'd the 640k-norm tier, and even AQE's own
+        # estimate-driven broadcast choice did (string-heavy gram tables
+        # inflate 5-10x their estimated size as hash relations) —
+        # BENCH.md round-5 curve. The join key is ngram, which the
+        # postings join shuffles on anyway.
+        keep = _dim_hint(
+            df_counts.filter(F.col("df") <= candidate_max_df).select("ngram"),
+            large_vocab,
         )
         left = left.join(keep, "ngram")
         right = right.join(keep, "ngram")
@@ -212,6 +235,7 @@ def similarity_pairs_prefix(
     df_counts: Optional[DataFrame] = None,
     cap_scope: str = "candidates",
     weights_materialized: bool = False,
+    large_vocab: bool = True,
 ) -> DataFrame:
     """Prefix-filtered similarity join (AllPairs/ppjoin family — Bayardo
     et al., "Scaling Up All Pairs Similarity Search", WWW'07): a fraction
@@ -261,11 +285,11 @@ def similarity_pairs_prefix(
         weights = weights.localCheckpoint(eager=True)
     cand_weights = weights
     if candidate_max_df is not None and df_counts is not None:
-        # merge-join hint — gram-vocabulary-sized; see similarity_pairs
-        keep = (
-            df_counts.filter(F.col("df") <= candidate_max_df)
-            .select("ngram")
-            .hint("merge")
+        # merge-join hint (large vocab only) — gram-vocabulary-sized; see
+        # similarity_pairs
+        keep = _dim_hint(
+            df_counts.filter(F.col("df") <= candidate_max_df).select("ngram"),
+            large_vocab,
         )
         cand_weights = weights.join(keep, "ngram")
     score_weights = weights if cap_scope == "candidates" else cand_weights
@@ -305,7 +329,12 @@ def similarity_pairs_prefix(
         cand_weights.select(F.col("norm").alias("x"), "ngram")
         # prefix is ~MIN_PREFIX_RANK..8 rows per norm — far past any sane
         # broadcast at vocab scale; same merge-hint rationale as `keep`
-        .join(prefix.select(F.col("norm").alias("y"), "ngram").hint("merge"), "ngram")
+        .join(
+            _dim_hint(
+                prefix.select(F.col("norm").alias("y"), "ngram"), large_vocab
+            ),
+            "ngram",
+        )
         .filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
@@ -324,11 +353,14 @@ def similarity_pairs_prefix(
     # deliberately not used). Stats come from the SCORE vectors (full
     # vectors under cap_scope="candidates") because the emitted score is
     # the full cosine.
-    stats = score_weights.groupBy("norm").agg(
-        F.max("w").alias("_maxw"),
-        F.sum("w").alias("_l1"),
-        F.count(F.lit(1)).alias("_n"),
-    ).hint("merge")  # vocabulary-sized — shuffle, never driver-broadcast
+    stats = _dim_hint(  # vocabulary-sized — sort-merge at large vocab
+        score_weights.groupBy("norm").agg(
+            F.max("w").alias("_maxw"),
+            F.sum("w").alias("_l1"),
+            F.count(F.lit(1)).alias("_n"),
+        ),
+        large_vocab,
+    )
     cand = (
         cand.join(
             stats.select(
@@ -370,10 +402,13 @@ def similarity_pairs_prefix(
     right = score_weights.select(
         F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
     )
-    # merge hint: the candidate-pair table is |pairs|-sized (millions at
-    # vocab scale) — an estimate-driven broadcast of it into the score
-    # join was the last of the four OOM sites the 640k-norm tier exposed
-    joined = cand.hint("merge").join(left, "a").join(right, ["b", "ngram"])
+    # merge hint (large vocab only): the candidate-pair table is
+    # |pairs|-sized (millions at vocab scale) — an estimate-driven
+    # broadcast of it into the score join was the last of the four OOM
+    # sites the 640k-norm tier exposed
+    joined = (
+        _dim_hint(cand, large_vocab).join(left, "a").join(right, ["b", "ngram"])
+    )
     partial = (
         joined.withColumn(
             "salt", F.pmod(F.xxhash64("ngram"), F.lit(salt_partitions))
@@ -536,26 +571,33 @@ def gate_scored_pairs(
     profiles_eff: DataFrame,
     protected: list,
     base: float,
+    large_vocab: bool = True,
 ) -> DataFrame:
     """The reference's edge gate cascade (app.py:3140-3183), applied to ANY
     (a, b, score) candidate source — TF-IDF inverted-index scores and
     semantic-embedding scores go through the identical gates, exactly as
     _build_cluster_maps treats its similarity_lookup regardless of origin."""
-    # merge-join hints: profiles_eff is vocabulary-sized, and at the
-    # 640k-norm tier TWO concurrent estimate-driven broadcasts of it
-    # (string-keyed hash relations inflate 5-10x) OOM'd the shared local
-    # heap while evaluating the edges checkpoint (BENCH.md round-5 curve);
-    # on a real cluster the same build happens per executor. The scored
-    # pairs are already shuffled, so sort-merge adds only the profile-side
-    # exchange.
-    eff_a = profiles_eff.select(
-        F.col("norm").alias("a"),
-        F.col("types").alias("types_a"),
-    ).hint("merge")
-    eff_b = profiles_eff.select(
-        F.col("norm").alias("b"),
-        F.col("types").alias("types_b"),
-    ).hint("merge")
+    # merge-join hints (large vocab only): profiles_eff is
+    # vocabulary-sized, and at the 640k-norm tier TWO concurrent
+    # estimate-driven broadcasts of it (string-keyed hash relations
+    # inflate 5-10x) OOM'd the shared local heap while evaluating the
+    # edges checkpoint (BENCH.md round-5 curve); on a real cluster the
+    # same build happens per executor. The scored pairs are already
+    # shuffled, so sort-merge adds only the profile-side exchange.
+    eff_a = _dim_hint(
+        profiles_eff.select(
+            F.col("norm").alias("a"),
+            F.col("types").alias("types_a"),
+        ),
+        large_vocab,
+    )
+    eff_b = _dim_hint(
+        profiles_eff.select(
+            F.col("norm").alias("b"),
+            F.col("types").alias("types_b"),
+        ),
+        large_vocab,
+    )
     return (
         scored.join(eff_a, "a")
         .join(eff_b, "b")
@@ -592,6 +634,49 @@ def _types_compatible_cols(types_a, types_b):
     )
 
 
+def _fused_rows_from_extracted(extracted: DataFrame) -> DataFrame:
+    """(kind, k1, k2) rows for the fused vocabulary aggregate from the
+    COMBINED extraction frame in ONE scan + ONE generate.
+
+    Semantically identical to the two-branch union over
+    ``linkable_mentions``/abbrevs (same multiset of rows — pinned in
+    tests/test_linking.py::test_fused_one_scan_parity), but the mention and
+    abbreviation arrays are transformed/filtered per row and concatenated
+    BEFORE the explode, so the corpus is read once instead of twice — at
+    10^12 turns the Stage-B corpus pass is the dominant I/O (the round-4
+    profile/abbrev fusion halved it; this halves the remainder)."""
+    m_structs = F.filter(
+        F.transform(
+            F.coalesce(F.col("ex.mentions"), F.array()),
+            lambda m: F.struct(
+                F.lit("M").alias("kind"),
+                F.trim(m["entity"]).alias("k1"),
+                F.upper(F.trim(m["entity_type"])).alias("k2"),
+                F.upper(m["entity_type"]).alias("_raw"),
+            ),
+        ),
+        # linkable_mentions parity: skip-type filter on the UNTRIMMED
+        # upper(entity_type); non-empty trimmed norm
+        lambda s: ~s["_raw"].isin(*SKIP_TYPES) & (s["k1"] != ""),
+    )
+    a_structs = F.filter(
+        F.transform(
+            F.coalesce(F.col("ex.abbreviations"), F.array()),
+            lambda a: F.struct(
+                F.lit("A").alias("kind"),
+                F.trim(a["abbr"]).alias("k1"),
+                F.trim(a["expansion"]).alias("k2"),
+                F.lit("").alias("_raw"),
+            ),
+        ),
+        lambda s: (s["k1"] != "") & (s["k2"] != ""),
+    )
+    return (
+        extracted.select(F.explode(F.concat(m_structs, a_structs)).alias("r"))
+        .select("r.kind", "r.k1", "r.k2")
+    )
+
+
 def build_linking_tables(
     mentions: DataFrame,
     abbrevs: DataFrame,
@@ -605,6 +690,7 @@ def build_linking_tables(
     embed_bands: Optional[int] = None,
     embed_band_bits: Optional[int] = None,
     tfidf_candidates: str = "prefix",
+    extracted: Optional[DataFrame] = None,
 ) -> LinkingTables:
     """Assemble the full gated edge list for connected components.
 
@@ -630,7 +716,6 @@ def build_linking_tables(
     size.
     """
     spark = mentions.sparkSession
-    linkable = linkable_mentions(mentions)
     # ONE corpus pass total for BOTH corpus-scale inputs: the norm profiles
     # (from the mentions side) and the distinct abbreviation pairs (from
     # the abbrevs side) ride a single fused groupBy — previously the
@@ -638,20 +723,27 @@ def build_linking_tables(
     # extraction bytes (two passes; at 10^12 turns each pass is the
     # dominant I/O). The fused aggregate is vocabulary-scale, so every
     # downstream derivation (profiles, abbr edges, scalar stats) works on
-    # the checkpointed small table.
-    m_rows = linkable.select(
-        F.lit("M").alias("kind"),
-        F.col("norm").alias("k1"),
-        F.upper(F.trim(F.col("entity_type"))).alias("k2"),
-    )
-    a_rows = abbrevs.select(
-        F.lit("A").alias("kind"),
-        F.trim(F.col("abbr")).alias("k1"),
-        F.trim(F.col("expansion")).alias("k2"),
-    ).filter((F.col("k1") != "") & (F.col("k2") != ""))
+    # the checkpointed small table. When the caller hands the COMBINED
+    # extraction frame (``extracted``), the mention/abbrev branches fuse
+    # into ONE scan + generate (:func:`_fused_rows_from_extracted`);
+    # otherwise the two split views union (two scans of the same bytes).
+    if extracted is not None:
+        fused_rows = _fused_rows_from_extracted(extracted)
+    else:
+        linkable = linkable_mentions(mentions)
+        m_rows = linkable.select(
+            F.lit("M").alias("kind"),
+            F.col("norm").alias("k1"),
+            F.upper(F.trim(F.col("entity_type"))).alias("k2"),
+        )
+        a_rows = abbrevs.select(
+            F.lit("A").alias("kind"),
+            F.trim(F.col("abbr")).alias("k1"),
+            F.trim(F.col("expansion")).alias("k2"),
+        ).filter((F.col("k1") != "") & (F.col("k2") != ""))
+        fused_rows = m_rows.unionByName(a_rows)
     fused = (
-        m_rows.unionByName(a_rows)
-        .groupBy("kind", "k1", "k2")
+        fused_rows.groupBy("kind", "k1", "k2")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
@@ -681,6 +773,9 @@ def build_linking_tables(
         )
 
     protected = sorted(PROTECTED_TERMS)
+    # all vocabulary-sized dim hints key off the MEASURED vocabulary — the
+    # same n_norms the df-cap AUTO uses (see MERGE_HINT_MIN_VOCAB)
+    large_vocab = n_norms > MERGE_HINT_MIN_VOCAB
 
     # --- abbreviation edges, gated on ORIGINAL type sets -------------------
     # distinct (src=abbr_norm, dst=expansion_norm) pairs from the per-turn
@@ -725,11 +820,11 @@ def build_linking_tables(
         .agg(F.array_sort(F.collect_set("t")).alias("types"))
     )
     # norms with no original profile (abbrev-only endpoints) default UNKNOWN
-    # (merge hint: effective_types is vocabulary-sized — same broadcast-OOM
-    # rationale as gate_scored_pairs)
+    # (merge hint at large vocab: effective_types is vocabulary-sized —
+    # same broadcast-OOM rationale as gate_scored_pairs)
     profiles_eff = (
         profiles.select("norm", "freq")
-        .join(effective_types.hint("merge"), "norm", "left")
+        .join(_dim_hint(effective_types, large_vocab), "norm", "left")
         .withColumn("types", F.coalesce(F.col("types"), F.array(F.lit("UNKNOWN"))))
     )
 
@@ -795,6 +890,7 @@ def build_linking_tables(
                     "candidates" if tfidf_candidates == "prefix" else "all"
                 ),
                 weights_materialized=weights_materialized,
+                large_vocab=large_vocab,
             )
         else:
             scored = similarity_pairs(
@@ -802,9 +898,12 @@ def build_linking_tables(
                 salt_partitions=salt_partitions,
                 candidate_max_df=candidate_max_df,
                 df_counts=tf_df_counts,
+                large_vocab=large_vocab,
             )
 
-    sim_edges = gate_scored_pairs(scored, profiles_eff, protected, base)
+    sim_edges = gate_scored_pairs(
+        scored, profiles_eff, protected, base, large_vocab=large_vocab
+    )
 
     edges = (
         abbr_gated.unionByName(alias_edges)

@@ -35,7 +35,7 @@ from .io_tables import (
     commit_bucket,
     commit_buckets_batch,
     committed_buckets,
-    read_stage_a,
+    read_stage_a_extracted,
     write_table,
 )
 from .operators.canonical import (
@@ -45,7 +45,7 @@ from .operators.canonical import (
     pick_canonicals,
 )
 from .operators.components import connected_components
-from .operators.extract import extract_combined
+from .operators.extract import extract_combined, split_extraction
 from .operators.linking import build_linking_tables
 from .operators.triples import build_triples, mention_triples, same_as_triples
 
@@ -216,9 +216,12 @@ def run_pipeline(
 
     _mark("stage_a")
     _phase("stage_b_linking")
-    mentions_raw, abbrevs = read_stage_a(spark, paths)
+    extracted_committed = read_stage_a_extracted(spark, paths)
+    mentions_raw, abbrevs = split_extraction(extracted_committed)
 
     # ---------------- Stage B: linking ------------------------------------
+    # passing the combined frame fuses the mention/abbrev vocabulary pass
+    # into ONE corpus scan (see linking._fused_rows_from_extracted)
     linking = build_linking_tables(
         mentions_raw,
         abbrevs,
@@ -228,6 +231,7 @@ def run_pipeline(
         embed_bands=config.embed_bands,
         embed_band_bits=config.embed_band_bits,
         tfidf_candidates=config.tfidf_candidates,
+        extracted=extracted_committed,
     )
 
     _mark("stage_b_linking")
@@ -248,31 +252,22 @@ def run_pipeline(
         user_canonical=config.user_canonical,
         merge_map=config.merge_map,
     )
-    # Materialize the applied-mentions frame ONCE: the entities write and
-    # every triple branch (has_value window join, mention facts, unmatched
-    # props) would otherwise each re-scan Stage A and re-explode 13M rows
-    # - measured as the dominant non-extraction cost (triples write 30.6s
-    # -> the plan executed the explode+broadcast-join prefix 3-4x).
-    # localCheckpoint spills MEMORY_AND_DISK and is released by the
-    # ContextCleaner when the frame goes out of scope.
-    mentions = mentions.localCheckpoint(eager=True)
 
     _mark("stage_c_components")
     _phase("stage_e_entities_plan")
 
-    # ---------------- Stage D: triples ------------------------------------
-    has_value = build_triples(mentions)
-    mention_facts = mention_triples(mentions)
-    same_as = same_as_triples(canonical_map).withColumns(
-        {
-            "conv_id": F.lit(None).cast("string"),
-            "turn_idx": F.lit(None).cast("int"),
-            "confidence": F.lit(1.0),
-        }
-    )
-    triples = has_value.unionByName(mention_facts).unionByName(same_as)
-
-    # ---------------- Stage E: materialize --------------------------------
+    # ---------------- Stage E(i): entities write --------------------------
+    # The entities write IS the materialization of the applied-mentions
+    # frame: every triple branch (has_value window join, mention facts,
+    # unmatched props) reads the written parquet back instead of a
+    # localCheckpoint. The canonical joins run exactly once (inside this
+    # write job), and — unlike checkpoint blocks, which store full rows —
+    # the parquet read-back COLUMN-PRUNES per branch (each triple branch
+    # touches 4-7 narrow columns of the 12-column table), so the five
+    # downstream passes scan a fraction of the bytes. (History: the r2-r5
+    # localCheckpoint solved the 3-4x re-extraction of the same frame; the
+    # write-then-read form keeps that property and adds pruning + cluster
+    # durability.)
     entities = mentions.select(
         "conv_id",
         "turn_idx",
@@ -295,8 +290,23 @@ def run_pipeline(
     # 13M rows purely to regroup, the exact bandwidth burn the N-vs-4N
     # efficiency metric flags on this box (BENCH.md).
     write_table(entities, os.path.join(output_dir, "entities_canonical"))
+    entities_rb = spark.read.schema(entities.schema).parquet(
+        os.path.join(output_dir, "entities_canonical")
+    )
     _mark("stage_e_entities_write")
     _phase("stage_e_triples_write")
+
+    # ---------------- Stage D: triples (over the written entities) --------
+    has_value = build_triples(entities_rb)
+    mention_facts = mention_triples(entities_rb)
+    same_as = same_as_triples(canonical_map).withColumns(
+        {
+            "conv_id": F.lit(None).cast("string"),
+            "turn_idx": F.lit(None).cast("int"),
+            "confidence": F.lit(1.0),
+        }
+    )
+    triples = has_value.unionByName(mention_facts).unionByName(same_as)
     # pipeline-level metrics (the lineage table holds per-bucket Stage-A
     # rows; this table holds the downstream-stage counters the reference
     # surfaced as run stats, app.py:3523-3601). Per-pred counts ride the
@@ -374,10 +384,7 @@ def run_pipeline(
 
     _mark("stage_e_metrics_small_tables")
     # read back with explicit schemas: empty tables have no part files to
-    # infer from
-    entities_rb = spark.read.schema(entities.schema).parquet(
-        os.path.join(output_dir, "entities_canonical")
-    )
+    # infer from (entities_rb is the schema-explicit read created above)
     triples_rb = spark.read.schema(triples.schema).parquet(
         os.path.join(output_dir, "triples")
     )

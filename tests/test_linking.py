@@ -156,6 +156,49 @@ def test_candidate_max_df_blocking_is_subset(spark):
     assert blocked <= exact
 
 
+def test_fused_one_scan_parity(spark):
+    """The one-scan fused vocabulary pass (transform/filter/concat/explode
+    over the combined extraction frame) must produce the identical
+    LinkingTables as the two-branch union over the split views — same
+    norms/profile rows, same gated edges, same extra nodes."""
+    from named_entity_algorithm_project_spark.datagen import (
+        TRANSCRIPTS_SCHEMA,
+        generate_rows,
+    )
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_combined,
+        split_extraction,
+    )
+    from named_entity_algorithm_project_spark.operators.linking import (
+        build_linking_tables,
+    )
+
+    rows = generate_rows(n_convs=60, seed=17)
+    df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    extracted = extract_combined(df).localCheckpoint(eager=True)
+    mentions, abbrevs = split_extraction(extracted)
+
+    split_lt = build_linking_tables(mentions, abbrevs)
+    fused_lt = build_linking_tables(mentions, abbrevs, extracted=extracted)
+
+    def norms_set(lt):
+        return {
+            (r["norm"], r["freq"], tuple(r["types"]))
+            for r in lt.norms.collect()
+        }
+
+    def pair_set(df_):
+        return {(r[0], r[1]) for r in df_.collect()}
+
+    assert norms_set(fused_lt) == norms_set(split_lt)
+    assert pair_set(fused_lt.edges) == pair_set(split_lt.edges)
+    assert {r[0] for r in fused_lt.extra_nodes.collect()} == {
+        r[0] for r in split_lt.extra_nodes.collect()
+    }
+    assert fused_lt.base_threshold == split_lt.base_threshold
+    assert fused_lt.n_norms == split_lt.n_norms
+
+
 def test_auto_blocking_recall(spark):
     """The auto df-cap (5% of the vocabulary — the default above 50k unique
     norms) is a prefix-filter with BOUNDED loss: the capped score is a lower
