@@ -45,6 +45,46 @@ def char_wb_ngrams(text: str, min_n: int = MIN_N, max_n: int = MAX_N) -> List[st
     return ngrams
 
 
+def char_wb_ngrams_col(col, min_n: int = MIN_N, max_n: int = MAX_N):
+    """Column form of :func:`char_wb_ngrams` — pure JVM higher-order
+    functions, no Python boundary (guide §4.1: the pandas-UDF version made
+    every consuming task block on a Python worker round-trip, and the
+    non-canonicalizable PythonUDF expression defeated exchange reuse, so
+    the TF-IDF explode stage executed once per DAG branch).
+
+    Exact semantic mapping, pinned by test_char_wb_ngrams_col_parity:
+    * collapse 2+ whitespace to one space, lowercase ((?U) makes Java's
+      \\s match the same Unicode whitespace Python's str-regex \\s does);
+    * whitespace-split, dropping empties (== str.split());
+    * per padded token " w " of length L: emit all n-grams for each
+      n in [min_n, max_n] with n <= L — for n == L that is the single
+      truncated emission, and sklearn's break-on-short-token rule is
+      exactly the n <= L filter (every n' > L >= min_n is skipped).
+    NULL input yields NULL (explode drops it, same as the UDF's [])."""
+    import pyspark.sql.functions as F
+
+    cleaned = F.lower(F.regexp_replace(col, "(?U)\\s\\s+", " "))
+    words = F.filter(F.split(cleaned, "(?U)\\s+"), lambda w: w != "")
+
+    def word_grams(w):
+        padded = F.concat(F.lit(" "), w, F.lit(" "))
+        length = F.length(padded)
+        return F.flatten(
+            F.transform(
+                F.filter(
+                    F.array(*[F.lit(n) for n in range(min_n, max_n + 1)]),
+                    lambda n: n <= length,
+                ),
+                lambda n: F.transform(
+                    F.sequence(F.lit(1), length - n + F.lit(1)),
+                    lambda i: padded.substr(i, n),
+                ),
+            )
+        )
+
+    return F.flatten(F.transform(words, word_grams))
+
+
 def tf_counts(text: str, min_n: int = MIN_N, max_n: int = MAX_N) -> Dict[str, int]:
     counts: Dict[str, int] = {}
     for gram in char_wb_ngrams(text, min_n, max_n):

@@ -58,15 +58,13 @@ import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from pyspark.sql import Window
 
 from ..dictionaries import DOMAIN_ALIAS_SUBSTRINGS, PROTECTED_TERMS
-from ..functions.ngrams import char_wb_ngrams
+from ..functions.ngrams import char_wb_ngrams_col
 from ..functions.textnorm import adaptive_threshold_col, adaptive_threshold_floor
 
 SKIP_TYPES = ("PROP_VALUE", "MATERIAL_AMOUNT")
@@ -112,9 +110,11 @@ class LinkingTables:
     candidate_max_df: Optional[int] = None
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def _ngrams_udf(norms: pd.Series) -> pd.Series:
-    return norms.map(lambda s: char_wb_ngrams(s or ""))
+# NOTE: the n-gram generator is a pure Column expression
+# (functions.ngrams.char_wb_ngrams_col) — the former pandas UDF made every
+# consuming task block on a Python worker and its non-canonicalizable
+# PythonUDF expression defeated AQE exchange reuse (the TF-IDF explode
+# stage measurably executed once per DAG branch, 4x).
 
 
 def linkable_mentions(mentions: DataFrame) -> DataFrame:
@@ -152,7 +152,9 @@ def tfidf_weights(norms: DataFrame, n_norms: int) -> DataFrame:
     idf expression).
     """
     tf = (
-        norms.select("norm", F.explode(_ngrams_udf(F.col("norm"))).alias("ngram"))
+        norms.select(
+            "norm", F.explode(char_wb_ngrams_col(F.col("norm"))).alias("ngram")
+        )
         .groupBy("norm", "ngram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

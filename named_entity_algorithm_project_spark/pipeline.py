@@ -297,8 +297,41 @@ def run_pipeline(
     _phase("stage_e_triples_write")
 
     # ---------------- Stage D: triples (over the written entities) --------
-    has_value = build_triples(entities_rb)
-    mention_facts = mention_triples(entities_rb)
+    # ONE exchange for every triple branch (guide-§2.4 shape): the
+    # nearest-property join, its windows, the docs-with-values anti-join
+    # and the mention dedup all cluster by the document key, so the
+    # branches derive from a single narrow (8 of 12 columns)
+    # hash-repartitioned localCheckpoint — its partitioning survives the
+    # checkpoint, so EnsureRequirements plans every downstream join,
+    # window and aggregation WITHOUT further mention-scale exchanges, and
+    # the five branch re-scans become in-memory block reads. (A bare
+    # repartition was not enough: Catalyst pushes each branch's filter
+    # below the exchange, so the subtrees stop being identical and
+    # ReuseExchange cannot collapse them — measured 5 exchanges + 5
+    # parquet re-scans.) Explicit N from the session conf: a column-only
+    # repartition is AQE-coalescible, which would serialize the windows
+    # at small sizes. The checkpoint is mention-scale but narrow
+    # (MEMORY_AND_DISK, spills; released by the ContextCleaner).
+    ents_by_doc = (
+        entities_rb.select(
+            "conv_id",
+            "turn_idx",
+            "entity",
+            "entity_norm",
+            "entity_type",
+            "confidence",
+            "start",
+            "canonical",
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "conv_id",
+            "turn_idx",
+        )
+        .localCheckpoint(eager=True)
+    )
+    has_value = build_triples(ents_by_doc)
+    mention_facts = mention_triples(ents_by_doc)
     same_as = same_as_triples(canonical_map).withColumns(
         {
             "conv_id": F.lit(None).cast("string"),

@@ -32,6 +32,47 @@ def test_char_wb_ngrams_matches_sklearn_semantics():
     assert char_wb_ngrams("") == []
 
 
+def test_char_wb_ngrams_col_parity(spark):
+    """The pure-Column n-gram generator must reproduce char_wb_ngrams
+    exactly (same list, same order, same duplicates) — including the
+    short-token break rule, whitespace collapsing, Unicode whitespace,
+    case folding, NULL and empty inputs."""
+    from named_entity_algorithm_project_spark.functions.ngrams import (
+        char_wb_ngrams_col,
+    )
+
+    cases = [
+        "polymer",
+        "PCE",
+        "a",
+        "ab",
+        "x y",
+        "  double  space  ",
+        "tabs\there",
+        "nbsp joined",
+        "newline\nsplit",
+        "Mixed CASE Words",
+        "hyphen-ated value",
+        "",
+        None,
+        "abcd",
+        "abcde",
+        "ab cd e f gh",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {
+        r["s"]: r["g"]
+        for r in df.select(
+            "s", char_wb_ngrams_col(F.col("s")).alias("g")
+        ).collect()
+    }
+    for c in cases:
+        if c is None:
+            assert got[c] is None  # explode() drops it, same as [] did
+        else:
+            assert got[c] == char_wb_ngrams(c), (c, got[c], char_wb_ngrams(c))
+
+
 @pytest.mark.skipif(
     __import__("importlib").util.find_spec("sklearn") is None,
     reason="sklearn not installed",
