@@ -398,16 +398,24 @@ def similarity_pairs_prefix(
         .select("a", "b")
     )
 
-    left = score_weights.select(
-        F.col("norm").alias("a"), "ngram", F.col("w").alias("wa")
-    )
-    right = score_weights.select(
-        F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
-    )
-    # merge hint (large vocab only): the candidate-pair table is
+    # merge hints (large vocab only): the candidate-pair table is
     # |pairs|-sized (millions at vocab scale) — an estimate-driven
     # broadcast of it into the score join was the last of the four OOM
-    # sites the 640k-norm tier exposed
+    # sites the 640k-norm tier exposed — and the two score sides are
+    # gram-vocabulary-sized, the same hash-relation-inflation class
+    # (pinned so the audited large-vocab plan carries ZERO broadcasts)
+    left = _dim_hint(
+        score_weights.select(
+            F.col("norm").alias("a"), "ngram", F.col("w").alias("wa")
+        ),
+        large_vocab,
+    )
+    right = _dim_hint(
+        score_weights.select(
+            F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
+        ),
+        large_vocab,
+    )
     joined = (
         _dim_hint(cand, large_vocab).join(left, "a").join(right, ["b", "ngram"])
     )

@@ -416,6 +416,13 @@ def run_pipeline(
     )
 
     _mark("stage_e_metrics_small_tables")
+    # stop labeling the CALLER's jobs: without this reset every job run
+    # after run_pipeline returns (e.g. a bench's result counts) would be
+    # attributed to the last phase in the UI/REST API (ADVICE r5)
+    try:
+        spark.sparkContext.setJobDescription(None)
+    except Exception:
+        pass
     # read back with explicit schemas: empty tables have no part files to
     # infer from (entities_rb is the schema-explicit read created above)
     triples_rb = spark.read.schema(triples.schema).parquet(

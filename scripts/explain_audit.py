@@ -134,7 +134,7 @@ def main() -> None:
     out.append("```")
 
     scored_prefix = similarity_pairs_prefix(
-        weights, gate_floor=0.82, salt_partitions=16
+        weights, gate_floor=0.82, salt_partitions=16, large_vocab=False
     )
     out.append(
         "\n## kg: tfidf similarity scoring, DEFAULT prefix-filtered path\n"
@@ -142,9 +142,40 @@ def main() -> None:
         "\nhigh-weight prefix, postings join only against prefixes, then"
         "\nexact rescoring over candidates — note the candidate join keys"
         "\nand the same salted final aggregation; 15x the naive join at"
-        "\n60k norms, BENCH.md)\n```"
+        "\n60k norms, BENCH.md. Below MERGE_HINT_MIN_VOCAB the"
+        "\nvocabulary-sized inputs may broadcast — AQE decides from runtime"
+        "\nsizes.)\n```"
     )
     out.extend(key_lines(formatted(scored_prefix)))
+    out.append("```")
+
+    # LARGE-VOCAB hint contract (VERDICT r5 item 3): with the measured
+    # vocabulary above MERGE_HINT_MIN_VOCAB the prefix path must pin every
+    # vocabulary-sized input (keep-list, prefix postings, per-norm stats,
+    # candidate pairs, score sides) to sort-merge — the estimate-driven
+    # broadcast of any of them OOM'd the 640k-norm tier — and the AllPairs
+    # maxweight filter must sit before the score join.
+    scored_prefix_large = similarity_pairs_prefix(
+        weights, gate_floor=0.82, salt_partitions=16, large_vocab=True
+    )
+    plan_large = formatted(scored_prefix_large)
+    assert "BroadcastExchange" not in plan_large, (
+        "large-vocab prefix plan broadcasts a vocabulary-sized input:\n"
+        + plan_large
+    )
+    assert "SortMergeJoin" in plan_large, plan_large
+    assert "_maxw" in plan_large, (
+        "AllPairs maxweight filter missing from the prefix plan"
+    )
+    out.append(
+        "\n## kg: prefix path, large-vocab hint contract (asserted)\n"
+        "\nSame DAG with large_vocab=True (the shape the AUTO tier runs"
+        "\nabove MERGE_HINT_MIN_VOCAB norms): ZERO BroadcastExchange nodes"
+        "\n— every vocabulary-sized join input is sort-merge-pinned — and"
+        "\nthe maxweight-filter join is present. This audit FAILS if a"
+        "\nfuture change re-broadcasts them.\n```"
+    )
+    out.extend(key_lines(plan_large))
     out.append("```")
 
     linking = build_linking_tables(mentions, abbrevs)
@@ -157,8 +188,18 @@ def main() -> None:
     comps = connected_components(nodes, linking.edges, local_threshold=0)
     cmap = pick_canonicals(comps, linking.norms)
     mc = apply_canonical_map(mentions, cmap)
-    triples = build_triples(mc)
-    out.append("\n## kg: has_value triples (nearest-property join)\n```")
+    # the pipeline derives every triple branch from ONE narrow
+    # hash-repartitioned checkpoint keyed by the document key (r6); the
+    # operator-level plan audited here shows the join/window shape
+    triples = build_triples(
+        mc.repartition(8, "conv_id", "turn_idx")
+    )
+    out.append(
+        "\n## kg: has_value triples (nearest-property join over the"
+        "\ndoc-key-partitioned frame — the pipeline checkpoints this"
+        "\npartitioning once so joins/windows/dedup add no further"
+        "\nmention-scale exchange)\n```"
+    )
     out.extend(key_lines(formatted(triples)))
     out.append("```")
 

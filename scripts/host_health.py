@@ -28,6 +28,10 @@ import numpy as np
 
 def copy_gbps(nbytes: int, iters: int) -> float:
     a = np.zeros(nbytes // 8)
+    # materialize the source: calloc'd zeros are shared-zero-page backed,
+    # so reads would largely bypass DRAM and the iters*2*nbytes accounting
+    # would overstate dram_gbps (ADVICE r5)
+    a.fill(1.0)
     b = np.empty_like(a)
     np.copyto(b, a)  # fault pages in before timing
     t0 = time.time()

@@ -80,6 +80,9 @@ def main() -> None:
     n_small = int(os.environ.get("KG_SCALE_N", "2"))
     n_large = 4 * n_small
 
+    # resolve the sibling module whatever the launch form (plain script,
+    # -m, embedding caller — ADVICE r5)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from host_health import probe  # noqa: E402 — sibling module
 
     health_before = probe()

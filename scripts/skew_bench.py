@@ -47,12 +47,18 @@ def _stage_phases(base: str, app_id: str) -> dict:
     """stage_id -> pipeline-phase label, from each job's description
     (run_pipeline sets ``kg:<phase>`` via setJobDescription)."""
     phases = {}
-    for job in _api(base, f"/api/v1/applications/{app_id}/jobs"):
+    # attribute each stage to its FIRST submitter (lowest jobId): a reused/
+    # skipped stage can appear in later jobs' stageIds and last-wins would
+    # mislabel it with a later phase (ADVICE r5)
+    for job in sorted(
+        _api(base, f"/api/v1/applications/{app_id}/jobs"),
+        key=lambda j: j.get("jobId", 0),
+    ):
         desc = job.get("description") or ""
         label = desc[3:] if desc.startswith("kg:") else ""
         for sid in job.get("stageIds", []):
             if label:
-                phases[sid] = label
+                phases.setdefault(sid, label)
     return phases
 
 
