@@ -930,16 +930,29 @@ def build_linking_tables(
     # Materialize the three output tables eagerly (they are vocabulary-sized,
     # tiny next to the corpus), then release the cached intermediates so
     # repeated invocations in one session don't accumulate cache blocks.
-    out = LinkingTables(
-        norms=profiles_eff.localCheckpoint(eager=True),
-        edges=edges.localCheckpoint(eager=True),
-        extra_nodes=extra_nodes.localCheckpoint(eager=True),
-        base_threshold=base,
-        n_norms=int(n_norms),
-        candidate_max_df=(
-            candidate_max_df if score_source == "tfidf" else None
-        ),
-    )
+    # The three materializations are independent — submit them from a small
+    # thread pool so their stages back-fill each other's scheduling gaps
+    # (guide §2.6); Spark's scheduler handles concurrent jobs natively.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_norms = pool.submit(
+            lambda: profiles_eff.localCheckpoint(eager=True)
+        )
+        f_edges = pool.submit(lambda: edges.localCheckpoint(eager=True))
+        f_extra = pool.submit(
+            lambda: extra_nodes.localCheckpoint(eager=True)
+        )
+        out = LinkingTables(
+            norms=f_norms.result(),
+            edges=f_edges.result(),
+            extra_nodes=f_extra.result(),
+            base_threshold=base,
+            n_norms=int(n_norms),
+            candidate_max_df=(
+                candidate_max_df if score_source == "tfidf" else None
+            ),
+        )
     profiles.unpersist()
     abbr_gated.unpersist()
     all_nodes.unpersist()

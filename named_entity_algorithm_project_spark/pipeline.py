@@ -409,11 +409,29 @@ def run_pipeline(
         ("n_triples_same_as", float(pred_counts["n_same_as"])),
     ]
     metrics = local_df(spark, metrics_rows, "metric string, value double")
-    write_table(metrics.coalesce(1), os.path.join(output_dir, "metrics"))
-    write_table(canonical_map, os.path.join(output_dir, "canonical_map"))
-    write_table(
-        alias_groups(canonical_map), os.path.join(output_dir, "alias_groups")
-    )
+    # three independent small-table writes — overlap them from a thread
+    # pool (guide §2.6) so the driver-side commit latency of one doesn't
+    # serialize the others
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                write_table,
+                metrics.coalesce(1),
+                os.path.join(output_dir, "metrics"),
+            ),
+            pool.submit(
+                write_table, canonical_map, os.path.join(output_dir, "canonical_map")
+            ),
+            pool.submit(
+                write_table,
+                alias_groups(canonical_map),
+                os.path.join(output_dir, "alias_groups"),
+            ),
+        ]
+        for f in futs:
+            f.result()
 
     _mark("stage_e_metrics_small_tables")
     # stop labeling the CALLER's jobs: without this reset every job run
