@@ -685,6 +685,161 @@ def _fused_rows_from_extracted(extracted: DataFrame) -> DataFrame:
     )
 
 
+#: Vocabulary size up to which the UNCAPPED tfidf linking cascade runs
+#: driver-side from the collected fused table (the same judgement call as
+#: connected_components' driver path: a few-thousand-norm vocabulary from
+#: any corpus size is a broadcast-scale dimension, and the ~30-job Spark
+#: cascade on it is pure scheduling overhead — measured ~5-7s at a
+#: 26-norm bench vocabulary for edge sets a python loop builds in
+#: milliseconds). Above it — or under an explicit/AUTO df-cap or a
+#: non-tfidf scorer — the distributed path runs unchanged.
+TFIDF_LOCAL_MAX_VOCAB = 5_000
+#: bounded-collect guard for the fused table (norm-type rows + abbrev
+#: pairs); at TFIDF_LOCAL_MAX_VOCAB norms the fused table is a few times
+#: the norm count, so this cap bounds driver memory even when the gate
+#: says "too big" and the distributed path takes over
+LOCAL_FUSED_ROW_CAP = 60_000
+
+
+def _types_compatible_py(types_a, types_b) -> bool:
+    """Python mirror of _types_compatible_cols — COLUMN-form semantics
+    (only the literal "UNKNOWN" is removed; empty strings are real types,
+    unlike functions.textnorm.types_compatible which drops falsy values)."""
+    a = [t for t in (types_a or []) if t != "UNKNOWN"]
+    b = [t for t in (types_b or []) if t != "UNKNOWN"]
+    if a and b:
+        return not set(a).isdisjoint(b)
+    return not a and not b
+
+
+_WS_JAVA = __import__("re").compile(r"[ \t\n\x0b\f\r]")
+
+
+def _adaptive_threshold_py(term: str, base: float) -> float:
+    """Python mirror of adaptive_threshold_col — Java-\\s semantics for the
+    compact length (the scalar helper in textnorm strips only spaces)."""
+    length = len(_WS_JAVA.sub("", term or ""))
+    if length <= 3:
+        return max(0.95, base)
+    if length <= 4:
+        return max(0.92, base)
+    if length <= 6:
+        return max(0.88, base)
+    return max(base, 0.82)
+
+
+def _build_linking_tables_local(
+    spark, fused_rows, base: float, n_norms: int
+) -> LinkingTables:
+    """Driver-side construction of the LinkingTables from the COLLECTED
+    fused (kind, k1, k2, cnt) table — a faithful python re-expression of
+    the distributed steps below (gated-abbrev edges, one-round type-union
+    propagation, domain-alias edges, exact TF-IDF cosine + gate cascade),
+    sharing the scalar helpers and the oracle's scorer. Engages only
+    uncapped (the AUTO df-cap cannot trigger at this size) with the tfidf
+    scorer, where every candidate strategy yields the identical gated
+    edge set (pinned in tests). Output parity with the distributed path
+    is pinned by tests/test_linking.py::test_local_path_parity."""
+    from collections import defaultdict
+
+    from ..oracle import _tfidf_cosine_pairs
+
+    freq: dict = defaultdict(int)
+    types: dict = defaultdict(set)
+    abbr_pairs = set()
+    for r in fused_rows:
+        if r["kind"] == "M":
+            freq[r["k1"]] += int(r["cnt"])
+            types[r["k1"]].add(r["k2"])
+        else:
+            abbr_pairs.add((r["k1"], r["k2"]))
+
+    protected = PROTECTED_TERMS
+    norms = sorted(freq)
+
+    # --- abbreviation edges, gated on ORIGINAL type sets -------------------
+    gated_abbr = set()
+    for s, t in abbr_pairs:
+        if s in protected and t in protected:
+            continue
+        # left-join semantics: a missing profile is a NULL side (empty list)
+        if not _types_compatible_py(
+            sorted(types[s]) if s in types else None,
+            sorted(types[t]) if t in types else None,
+        ):
+            continue
+        gated_abbr.add((s, t))
+
+    # --- one-round abbreviation type-union propagation ---------------------
+    # distributed equivalent: abbr_sym ⟕ profiles(dst).types, exploded,
+    # unioned with own types, re-collected per norm; only profile norms
+    # keep a row after the profiles_eff left join
+    neighbor_gain: dict = defaultdict(set)
+    for s, t in gated_abbr:
+        for src, dst in ((s, t), (t, s)):
+            if dst in types:
+                neighbor_gain[src] |= types[dst]
+    profiles_eff = {}
+    for n in norms:
+        eff = types[n] | neighbor_gain.get(n, set())
+        profiles_eff[n] = sorted(eff) if eff else ["UNKNOWN"]
+
+    # --- node universe + domain alias edges --------------------------------
+    all_nodes = set(norms)
+    for s, t in gated_abbr:
+        all_nodes.add(s)
+        all_nodes.add(t)
+    alias_edges = set()
+    all_nodes_full = set(all_nodes)
+    for needle, alias in sorted(DOMAIN_ALIAS_SUBSTRINGS.items()):
+        if alias in protected:
+            continue
+        for node in all_nodes:
+            if needle in node and node != alias and node not in protected:
+                alias_edges.add((node, alias))
+                all_nodes_full.add(alias)
+
+    # --- similarity edges (exact cosine, shared oracle scorer) -------------
+    sim_edges = set()
+    for (a, b), score in _tfidf_cosine_pairs(norms).items():
+        if a in protected and b in protected:
+            continue
+        if score < min(
+            _adaptive_threshold_py(a, base), _adaptive_threshold_py(b, base)
+        ):
+            continue
+        la, lb = len(a), len(b)
+        if min(la, lb) <= 2 and la != lb:
+            continue
+        if not _types_compatible_py(profiles_eff[a], profiles_eff[b]):
+            continue
+        sim_edges.add((a, b))
+
+    edges = sorted(
+        {
+            (min(s, t), max(s, t))
+            for s, t in (gated_abbr | alias_edges | sim_edges)
+            if s != t
+        }
+    )
+    extra = sorted(all_nodes_full - set(norms))
+
+    from ..functions.localrel import local_df
+
+    return LinkingTables(
+        norms=local_df(
+            spark,
+            [(n, freq[n], profiles_eff[n]) for n in norms],
+            "norm string, freq bigint, types array<string>",
+        ),
+        edges=local_df(spark, edges, "src string, dst string"),
+        extra_nodes=local_df(spark, [(n,) for n in extra], "norm string"),
+        base_threshold=base,
+        n_norms=n_norms,
+        candidate_max_df=None,
+    )
+
+
 def build_linking_tables(
     mentions: DataFrame,
     abbrevs: DataFrame,
@@ -699,6 +854,7 @@ def build_linking_tables(
     embed_band_bits: Optional[int] = None,
     tfidf_candidates: str = "prefix",
     extracted: Optional[DataFrame] = None,
+    local_max_vocab: int = TFIDF_LOCAL_MAX_VOCAB,
 ) -> LinkingTables:
     """Assemble the full gated edge list for connected components.
 
@@ -755,6 +911,33 @@ def build_linking_tables(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
+    # --- driver-local path for small UNCAPPED tfidf vocabularies -----------
+    # (see TFIDF_LOCAL_MAX_VOCAB). One bounded collect of the fused table
+    # doubles as the size gate and the data; the distributed cascade runs
+    # whenever the gate, an explicit df-cap, a low auto_block_min_vocab, or
+    # a non-tfidf scorer says so.
+    if (
+        score_source == "tfidf"
+        and candidate_max_df is None
+        and local_max_vocab > 0
+    ):
+        sample = fused.limit(LOCAL_FUSED_ROW_CAP + 1).collect()
+        if len(sample) <= LOCAL_FUSED_ROW_CAP:
+            m_norm_set = {r["k1"] for r in sample if r["kind"] == "M"}
+            n_norms_l = len(m_norm_set)
+            auto_cap_would_engage = bool(
+                auto_block_min_vocab and n_norms_l > auto_block_min_vocab
+            )
+            if n_norms_l <= local_max_vocab and not auto_cap_would_engage:
+                n_rows_l = sum(
+                    int(r["cnt"]) for r in sample if r["kind"] == "M"
+                )
+                return _build_linking_tables_local(
+                    spark,
+                    sample,
+                    compute_base_threshold(n_rows_l),
+                    n_norms_l,
+                )
     # identical to norm_profiles(linkable): freq = mention count per norm,
     # types = sorted set of upper(trim(entity_type))
     profiles = (

@@ -240,6 +240,54 @@ def test_fused_one_scan_parity(spark):
     assert fused_lt.n_norms == split_lt.n_norms
 
 
+def test_local_path_parity(spark):
+    """The driver-local small-vocab linking path (collected fused table +
+    python gate cascade) must produce the identical LinkingTables as the
+    distributed cascade: same (norm, freq, effective-types) rows, same
+    gated edge set, same extra nodes, same base threshold."""
+    from named_entity_algorithm_project_spark.datagen import (
+        TRANSCRIPTS_SCHEMA,
+        generate_rows,
+    )
+    from named_entity_algorithm_project_spark.operators.extract import (
+        extract_combined,
+        split_extraction,
+    )
+    from named_entity_algorithm_project_spark.operators.linking import (
+        build_linking_tables,
+    )
+
+    for n_convs, seed in ((60, 17), (150, 42)):
+        rows = generate_rows(n_convs=n_convs, seed=seed)
+        df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+        extracted = extract_combined(df).localCheckpoint(eager=True)
+        mentions, abbrevs = split_extraction(extracted)
+
+        dist = build_linking_tables(
+            mentions, abbrevs, extracted=extracted, local_max_vocab=0
+        )
+        loc = build_linking_tables(
+            mentions, abbrevs, extracted=extracted
+        )
+        assert loc.candidate_max_df is None and dist.candidate_max_df is None
+        assert loc.base_threshold == dist.base_threshold
+        assert loc.n_norms == dist.n_norms
+
+        def norms_set(lt):
+            return {
+                (r["norm"], r["freq"], tuple(r["types"]))
+                for r in lt.norms.collect()
+            }
+
+        assert norms_set(loc) == norms_set(dist), (n_convs, seed)
+        assert {(r[0], r[1]) for r in loc.edges.collect()} == {
+            (r[0], r[1]) for r in dist.edges.collect()
+        }, (n_convs, seed)
+        assert {r[0] for r in loc.extra_nodes.collect()} == {
+            r[0] for r in dist.extra_nodes.collect()
+        }, (n_convs, seed)
+
+
 def test_auto_blocking_recall(spark):
     """The auto df-cap (5% of the vocabulary — the default above 50k unique
     norms) is a prefix-filter with BOUNDED loss: the capped score is a lower
