@@ -34,13 +34,34 @@ def _gram_bucket_sign(gram: str, dim: int) -> tuple:
     return (h >> 1) % dim, 1.0 if (h & 1) else -1.0
 
 
+# Per-process (bucket, sign) memo: one gram->(bucket, sign) dict per dim.
+# Corpora share a small distinct-gram set (char_wb 3-5 grams over a
+# bounded alphabet: measured 626 distinct grams across 20k synthetic
+# norms), so re-hashing every occurrence wastes over half the embed CPU
+# (string-key memo measured 2.5x on the pure-Python loop, bit-identical
+# output). Module state persists across Arrow batches in a reused Python
+# worker — the same heavyweight-init-once pattern as the neural-model
+# singleton. Size-capped as a safety valve; at the cap new grams are
+# hashed directly (never evicted, never wrong).
+_GRAM_CACHE: dict = {}
+_GRAM_CACHE_MAX = 1 << 20
+
+
 def embed_text(text: str, dim: int = DEFAULT_EMBED_DIM) -> np.ndarray:
     """L2-normalized hashed n-gram vector for one string (zero vector for
     empty/gram-less input)."""
+    cache = _GRAM_CACHE.get(dim)
+    if cache is None:
+        cache = _GRAM_CACHE.setdefault(dim, {})
+    lookup = cache.get
     v = np.zeros(dim, dtype=np.float64)
     for gram in char_wb_ngrams(text or ""):
-        bucket, sign = _gram_bucket_sign(gram, dim)
-        v[bucket] += sign
+        bs = lookup(gram)
+        if bs is None:
+            bs = _gram_bucket_sign(gram, dim)
+            if len(cache) < _GRAM_CACHE_MAX:
+                cache[gram] = bs
+        v[bs[0]] += bs[1]
     norm = float(np.linalg.norm(v))
     return v / norm if norm > 0 else v
 

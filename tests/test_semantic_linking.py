@@ -34,6 +34,33 @@ def test_stub_embedder_deterministic_and_normalized():
     assert np.array_equal(embed_text("PCE"), embed_text("pce"))
 
 
+def test_gram_memo_identical_to_direct_hashing():
+    # the per-process (gram, dim) memo is a pure cache: cold-path,
+    # warm-path and a cache-bypassing from-scratch computation must
+    # produce bit-identical vectors (r6 embed_batch 2.5x)
+    from named_entity_algorithm_project_spark.functions import embed as E
+
+    texts = NORMS + ["zinc oxide nanowire", "ZnO", ""]
+    E._GRAM_CACHE.clear()
+    cold = [E.embed_text(t) for t in texts]
+    assert len(E._GRAM_CACHE) > 0  # memo populated
+    warm = [E.embed_text(t) for t in texts]
+    # from-scratch reference: direct hashing, no cache involvement
+    def direct(text, dim=E.DEFAULT_EMBED_DIM):
+        v = np.zeros(dim, dtype=np.float64)
+        for gram in E.char_wb_ngrams(text or ""):
+            bucket, sign = E._gram_bucket_sign(gram, dim)
+            v[bucket] += sign
+        n = float(np.linalg.norm(v))
+        return v / n if n > 0 else v
+
+    for c, w, t in zip(cold, warm, texts):
+        assert np.array_equal(c, w), t
+        assert np.array_equal(c, direct(t)), t
+    # a different dim keys separately (no cross-dim collisions)
+    assert np.array_equal(E.embed_text("ZnO", dim=32), direct("ZnO", dim=32))
+
+
 def test_semantic_exact_matches_numpy_oracle(spark):
     mat = cosine_matrix(NORMS)
     expected = {
