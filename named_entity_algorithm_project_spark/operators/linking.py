@@ -55,6 +55,7 @@ Edge gates (reference parity, app.py:3140-3183):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -90,6 +91,28 @@ MIN_PREFIX_RANK = 4
 #: exchange-side — inside the broadcast envelope with the measured 5-10x
 #: inflation on an 8g driver; the cap aligns with auto_block_min_vocab.
 MERGE_HINT_MIN_VOCAB = 50_000
+
+#: Second, higher bound for the prefix score SIDES (the weights views):
+#: below it they stay UNPINNED — they read the materialized weights
+#: checkpoint, AQE's runtime broadcast of them is safe in that regime, and
+#: pinning measured 2.2x slower at the 62k-norm tier (OPTIMIZATION_r06 §5b).
+#: The r6 tier-4 leg (917k norms, 27M weight rows) measured the two
+#: failure modes this bound arbitrates between. UNPINNED, the SMJ sides
+#: shuffle on (b, ngram); zstd compresses gram postings so well that the
+#: weights side measures UNDER the 64 MiB adaptive threshold, and AQE's
+#: runtime SMJ->BHJ conversion builds a 2^26-slot (512 MB+) hash relation:
+#: fine at 3 GiB/core (24g leg green, 1334s), OOM at 1 GiB/core. PINNED,
+#: the score join streams |candidates| x |grams-per-norm| rows through the
+#: (b, ngram) shuffle instead (~80 GB+ scratch at 917k norms) — the plan
+#: that survives cluster scale (shuffle grows linearly and spills to
+#: executor-local disk; a broadcast relation grows ~600 B/norm and
+#: eventually kills ANY executor heap), but more than this sandbox's
+#: scratch disk. Deployment-keyed (env), defaulting high enough that every
+#: sandbox-runnable tier keeps the broadcast-eligible plan with a sized
+#: heap (BENCH.md: 24g at >=900k norms); cluster deployments with
+#: TB-scale shuffle dirs lower it toward ~500k to take the shuffle plan
+#: before executor heaps become the binding constraint.
+SCORE_PIN_MIN_VOCAB = int(os.environ.get("KG_SCORE_PIN_MIN_VOCAB", "2000000"))
 
 
 def _dim_hint(df: DataFrame, large_vocab: bool) -> DataFrame:
@@ -238,6 +261,7 @@ def similarity_pairs_prefix(
     cap_scope: str = "candidates",
     weights_materialized: bool = False,
     large_vocab: bool = True,
+    score_pin: bool = False,
 ) -> DataFrame:
     """Prefix-filtered similarity join (AllPairs/ppjoin family — Bayardo
     et al., "Scaling Up All Pairs Similarity Search", WWW'07): a fraction
@@ -398,17 +422,24 @@ def similarity_pairs_prefix(
         .select("a", "b")
     )
 
-    # The score SIDES are deliberately NOT pinned: they derive from the
-    # materialized weights checkpoint, whose size statistics are ACCURATE,
-    # so the planner/AQE broadcasts them only when they truly fit (the r5
-    # OOMs were estimate-driven broadcasts of un-materialized string-heavy
-    # frames). Pinning them was measured 2.2x slower at the 62k-norm tier
-    # (47-55s vs 22-23s, same-window interleaved A/B) with no safety gain.
-    left = score_weights.select(
-        F.col("norm").alias("a"), "ngram", F.col("w").alias("wa")
+    # The score SIDES stay unpinned in the mid-vocabulary regime (AQE's
+    # runtime broadcast of the materialized weights is safe there, and
+    # pinning measured 2.2x slower at the 62k-norm tier) but are
+    # sort-merge-pinned above SCORE_PIN_MIN_VOCAB: at weights scale the
+    # zstd-compressed (b, ngram) shuffle of the side measures UNDER the
+    # adaptive broadcast threshold while the string-keyed hash relation it
+    # would build is 512 MB+ — the r6 tier-4 OOM (see the constant's doc).
+    left = _dim_hint(
+        score_weights.select(
+            F.col("norm").alias("a"), "ngram", F.col("w").alias("wa")
+        ),
+        score_pin,
     )
-    right = score_weights.select(
-        F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
+    right = _dim_hint(
+        score_weights.select(
+            F.col("norm").alias("b"), "ngram", F.col("w").alias("wb")
+        ),
+        score_pin,
     )
     # merge hint (large vocab only): the candidate-pair table is
     # |pairs|-sized (millions at vocab scale) — an estimate-driven
@@ -975,11 +1006,23 @@ def build_linking_tables(
     abbr_raw = fused.filter(F.col("kind") == "A").select(
         F.col("k1").alias("src"), F.col("k2").alias("dst")
     )
-    prof_src = profiles.select(
-        F.col("norm").alias("src"), F.col("types").alias("types_src")
+    # merge hints (large vocab only): these profile projections are
+    # vocabulary-sized, and LeftOuter can only build-right — an
+    # estimate-driven broadcast of the 917k-norm profiles (compressed
+    # shuffle bytes under the threshold, string-keyed hash relation
+    # inflating 5-10x at build) OOM'd the edges checkpoint at 1 GiB/core
+    # (r6 tier-4 finding; same class as the r5 profiles_eff pins)
+    prof_src = _dim_hint(
+        profiles.select(
+            F.col("norm").alias("src"), F.col("types").alias("types_src")
+        ),
+        large_vocab,
     )
-    prof_dst = profiles.select(
-        F.col("norm").alias("dst"), F.col("types").alias("types_dst")
+    prof_dst = _dim_hint(
+        profiles.select(
+            F.col("norm").alias("dst"), F.col("types").alias("types_dst")
+        ),
+        large_vocab,
     )
     abbr_gated = (
         abbr_raw.join(prof_src, "src", "left")
@@ -998,7 +1041,13 @@ def build_linking_tables(
     )
     neighbor_types = (
         abbr_sym.join(
-            profiles.select(F.col("norm").alias("dst"), "types"), "dst", "left"
+            # vocabulary-sized dim — same hint rationale as prof_src/dst
+            _dim_hint(
+                profiles.select(F.col("norm").alias("dst"), "types"),
+                large_vocab,
+            ),
+            "dst",
+            "left",
         )
         .select(F.col("src").alias("norm"), "types")
         .filter(F.col("types").isNotNull())
@@ -1082,6 +1131,7 @@ def build_linking_tables(
                 ),
                 weights_materialized=weights_materialized,
                 large_vocab=large_vocab,
+                score_pin=n_norms > SCORE_PIN_MIN_VOCAB,
             )
         else:
             scored = similarity_pairs(
@@ -1107,8 +1157,9 @@ def build_linking_tables(
         .distinct()
     )
 
+    # LeftAnti also builds right — hint the vocabulary-sized name list too
     extra_nodes = all_nodes_full.join(
-        profiles.select("norm"), "norm", "left_anti"
+        _dim_hint(profiles.select("norm"), large_vocab), "norm", "left_anti"
     )
     # Materialize the three output tables eagerly (they are vocabulary-sized,
     # tiny next to the corpus), then release the cached intermediates so

@@ -60,8 +60,17 @@ def main():
         if len(sys.argv) > 3
         else ["all", "prefix_parity", "prefix"]
     )
+    # shuffle partitions are scale-set by the caller (guide §2.2): 32 is
+    # right up to the ~460k-norm tier; the 917k-norm tier packs ~1M weight
+    # rows per partition per join side at 32, which starves the score
+    # HashAggregate's map init under a 1 GiB/core heap (r6 tier-4 finding —
+    # UNABLE_TO_ACQUIRE_MEMORY; 128 partitions OR 3 GiB/core both clear it)
     spark = get_spark(
-        app_name="prefix-bench", master="local[8]", shuffle_partitions=32
+        app_name="prefix-bench",
+        master="local[8]",
+        shuffle_partitions=int(
+            os.environ.get("KG_PREFIX_SHUFFLE_PARTITIONS", "32")
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
