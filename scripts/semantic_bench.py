@@ -92,14 +92,19 @@ def scale_arm(spark, n: int, bands: int = 10, band_bits: int = 6) -> dict:
     ~N²·bands/2^band_bits·1/2); the scale tier must raise band_bits and
     compensate with bands. 10x6 = 60 planes (under the 63-bit signature
     cap) holds ~0.95 predicted candidate recall at cosine 0.80 at ~1/13th
-    the 8x4 candidate volume."""
+    the 8x4 candidate volume.
+
+    KG_SEMANTIC_SCALE_RECALL=1 additionally measures recall against the
+    blocked-numpy exact truth at the gate thresholds — ~130 GFLOP of BLAS
+    and a ~3 GiB block at 100k norms, so it is opt-in (the r6 run
+    validating the 10x6 tier at its design scale)."""
     norms = build_vocab(n, seed=5)
     df = spark.createDataFrame([(x,) for x in norms], "norm string")
     t0 = time.time()
-    n_pairs = (
+    got = (
         semantic_pairs_lsh(df, dim=DIM, bands=bands, band_bits=band_bits)
         .filter(F.col("score") >= 0.8)
-        .count()
+        .collect()
     )
     row = {
         "arm": "scale",
@@ -107,8 +112,17 @@ def scale_arm(spark, n: int, bands: int = 10, band_bits: int = 6) -> dict:
         "bands": bands,
         "band_bits": band_bits,
         "t_lsh_s": round(time.time() - t0, 2),
-        "pairs_ge_0.8": n_pairs,
+        "pairs_ge_0.8": len(got),
     }
+    if os.environ.get("KG_SEMANTIC_SCALE_RECALL"):
+        for t in (0.80, 0.90):
+            truth = exact_pairs(norms, t)
+            got_pairs = {(r["a"], r["b"]) for r in got if r["score"] >= t}
+            assert got_pairs <= truth, "LSH emitted a non-exact pair?!"
+            row[f"exact_pairs_ge_{t}"] = len(truth)
+            row[f"recall_at_{t}"] = (
+                round(len(got_pairs) / len(truth), 4) if truth else 1.0
+            )
     print(json.dumps(row), flush=True)
     return row
 
